@@ -1,0 +1,92 @@
+"""Voxelization: dedup integer coords and average point features per voxel.
+
+Replaces the reference's `voxelize_idx` host hash-map dedup
+(`softgroup/ops/src/voxelize/voxelize.cpp:59-165`) and the `voxelize_fp`
+gather-mean CUDA kernel (`voxelize.cu:9-40`).
+
+Two implementations with identical semantics:
+  * `voxelize` — device-side, jit-compatible, static capacity + masks.  Used
+    inside the model for clusters_voxelization and the SoftGroup++ pyramid
+    map, where voxelization depends on network predictions.
+  * `voxelize_np` — host-side numpy, exact dynamic shapes.  Used by the data
+    pipeline (the reference also voxelizes on the host, in the DataLoader's
+    collate, `softgroup/data/custom.py:239`).
+
+Deviation from the reference (documented): voxels come out in sorted key
+order rather than first-seen order.  This is a permutation; every consumer
+gathers through the returned maps so results are unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import keys as K
+from .segment import segment_mean
+
+
+class Voxelized(NamedTuple):
+    """Static-capacity voxelization result.
+
+    vox_coords: (capacity, 4) int32 (b, x, y, z); rows past n_voxels undefined
+    vox_valid:  (capacity,) bool
+    p2v:        (N,) int32 point -> voxel id; invalid points -> capacity
+    n_voxels:   () int32 (true count; caller must ensure <= capacity)
+    """
+    vox_coords: jax.Array
+    vox_valid: jax.Array
+    p2v: jax.Array
+    n_voxels: jax.Array
+
+
+def voxelize(coords: jax.Array, valid: jax.Array, dims: jax.Array,
+             capacity: int) -> Voxelized:
+    """Device-side voxelization of (N, 4) int32 coords ``(b, x, y, z)``."""
+    hi, lo = K.pack_coords(coords, dims)
+    uniq_pos, uniq_valid, inv_map, n_unique = K.unique_keys(hi, lo, valid, capacity)
+    vox_coords = coords[jnp.clip(uniq_pos, 0, coords.shape[0] - 1)]
+    vox_coords = jnp.where(uniq_valid[:, None], vox_coords, 0)
+    # route invalid points (and overflow beyond capacity) to the dustbin
+    p2v = jnp.where(valid, inv_map, capacity)
+    return Voxelized(vox_coords.astype(jnp.int32), uniq_valid, p2v, n_unique)
+
+
+def voxel_features(point_feats: jax.Array, p2v: jax.Array, capacity: int) -> jax.Array:
+    """Mean point features per voxel — `voxelization` in the reference
+    (`softgroup/ops/functions.py:200-234`), differentiable."""
+    return segment_mean(point_feats, p2v, capacity)
+
+
+def devoxelize(vox_feats: jax.Array, p2v: jax.Array) -> jax.Array:
+    """Gather voxel features back to points — `output_feats[input_map]`
+    (`softgroup/model/softgroup.py:374`).  Out-of-range p2v (invalid points)
+    clamps to the last row; callers mask those rows."""
+    return vox_feats[jnp.clip(p2v, 0, vox_feats.shape[0] - 1)]
+
+
+def voxelize_np(coords: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host voxelization with exact shapes.
+
+    Args:
+      coords: (N, 4) int array (b, x, y, z).
+    Returns:
+      vox_coords (M, 4) int32 in sorted key order, p2v (N,) int32,
+      counts (M,) int32.
+    """
+    coords = np.asarray(coords)
+    # int64 keys are free on the host
+    key = ((coords[:, 0].astype(np.int64) << 48)
+           | (coords[:, 1].astype(np.int64) << 32)
+           | (coords[:, 2].astype(np.int64) << 16)
+           | coords[:, 3].astype(np.int64))
+    uniq, p2v, counts = np.unique(key, return_inverse=True, return_counts=True)
+    first = np.zeros(len(uniq), dtype=np.int64)
+    # first occurrence position per unique key (np.unique sorts keys; gather any
+    # representative — coords are identical within a voxel)
+    first[p2v[::-1]] = np.arange(len(coords) - 1, -1, -1)
+    vox_coords = coords[first].astype(np.int32)
+    return vox_coords, p2v.astype(np.int32), counts.astype(np.int32)
