@@ -10,8 +10,19 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Exact f32 matmuls for golden tests (JAX's default truncates to bf16-style
+# precision even on CPU; production uses the bf16 policy deliberately).
+jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache — XLA compiles dominate test wall-clock on the
+# single-core CI host; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture
