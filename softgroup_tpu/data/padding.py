@@ -1,0 +1,109 @@
+"""Host-side assembly of static-shape device batches.
+
+The reference collate (`softgroup/data/custom.py:191-256`) concatenates scans
+and voxelizes on the host; here the host additionally builds the full grid
+pyramid (geometry is feature-independent) and pads everything to the static
+capacities, so the TPU step is a pure dense program and never recompiles.
+
+Capacity bucketing: `round_capacity` rounds sizes up to a coarse bucket, so a
+handful of compiled programs covers the whole dataset.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.softgroup import Capacities, SceneBatch
+from ..ops.geometry import build_pyramid_np
+
+
+def round_capacity(n: int, granularity: float = 2 ** 0.5,
+                   minimum: int = 1024) -> int:
+    """Round up to the next power-of-sqrt(2)-ish bucket (multiple of 256)."""
+    n = max(n, minimum)
+    b = granularity ** math.ceil(math.log(n, granularity))
+    return int(math.ceil(b / 256) * 256)
+
+
+def pad_to(arr: np.ndarray, cap: int, fill) -> np.ndarray:
+    out = np.full((cap,) + arr.shape[1:], fill, arr.dtype)
+    out[:len(arr)] = arr
+    return out
+
+
+def default_capacities(n_points: int, voxel_counts: Sequence[int],
+                       train: bool, cfg) -> Capacities:
+    """Derive bucketed capacities for a batch (voxel counts from the host
+    pyramid build)."""
+    p = round_capacity(n_points)
+    voxels = tuple(round_capacity(v, minimum=256) for v in voxel_counts)
+    max_prop = int(cfg.train_cfg.max_proposal_num) if train else 1024
+    return Capacities(
+        points=p,
+        voxels=voxels,
+        grouping_points=round_capacity(n_points, minimum=4096),
+        proposals=max_prop,
+        proposal_entries=round_capacity(4 * n_points, minimum=8192),
+        instances=256,
+        inst_voxels=(round_capacity(max_prop * 250, minimum=8192),
+                     round_capacity(max_prop * 60, minimum=2048)),
+    )
+
+
+def build_scene_batch(coords: np.ndarray, coords_float: np.ndarray,
+                      feats: np.ndarray, semantic_labels: np.ndarray,
+                      instance_labels: np.ndarray,
+                      pt_offset_labels: np.ndarray,
+                      instance_pointnum: np.ndarray,
+                      instance_cls: np.ndarray, spatial_shape: np.ndarray,
+                      caps: Capacities, num_levels: int,
+                      ignore_label: int = -100) -> SceneBatch:
+    """Pad a collated (numpy) batch into a SceneBatch with its pyramid.
+
+    coords: (N, 4) int (batch, x, y, z) voxel coords (scaled, shifted >= 0).
+    spatial_shape: (3,) level-0 grid extent (already clipped like
+    `custom.py:237-238`).
+    """
+    n = len(coords)
+    assert n <= caps.points, f"{n} points exceed capacity {caps.points}"
+    pyramid = build_pyramid_np(coords, spatial_shape, num_levels,
+                               caps.voxels)
+    # re-pad the point-level maps to caps.points
+    p2v = np.asarray(pyramid.p2v)
+    p2v = pad_to(p2v, caps.points, caps.voxels[0])
+    point_valid = np.zeros((caps.points,), bool)
+    point_valid[:n] = True
+    pyramid = pyramid.replace(p2v=jnp.asarray(p2v),
+                              point_valid=jnp.asarray(point_valid))
+
+    ni = len(instance_pointnum)
+    assert ni <= caps.instances, f"{ni} instances exceed {caps.instances}"
+    inst_valid = np.zeros((caps.instances,), bool)
+    inst_valid[:ni] = True
+
+    return SceneBatch(
+        pyramid=pyramid,
+        feats=jnp.asarray(pad_to(feats.astype(np.float32), caps.points, 0.0)),
+        coords_float=jnp.asarray(
+            pad_to(coords_float.astype(np.float32), caps.points, 0.0)),
+        batch_idxs=jnp.asarray(
+            pad_to(coords[:, 0].astype(np.int32), caps.points, 0)),
+        semantic_labels=jnp.asarray(
+            pad_to(semantic_labels.astype(np.int32), caps.points,
+                   ignore_label)),
+        instance_labels=jnp.asarray(
+            pad_to(instance_labels.astype(np.int32), caps.points,
+                   ignore_label)),
+        pt_offset_labels=jnp.asarray(
+            pad_to(pt_offset_labels.astype(np.float32), caps.points, 0.0)),
+        instance_pointnum=jnp.asarray(
+            pad_to(instance_pointnum.astype(np.int32), caps.instances, 0)),
+        instance_cls=jnp.asarray(
+            pad_to(instance_cls.astype(np.int32), caps.instances,
+                   ignore_label)),
+        instance_valid=jnp.asarray(inst_valid),
+    )

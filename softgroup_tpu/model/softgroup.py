@@ -1,0 +1,507 @@
+"""SoftGroup / SoftGroup++ model — TPU-native re-design of
+`softgroup/model/softgroup.py` (reference class `SoftGroup`, :18-731).
+
+Architecture notes (vs. the reference):
+  * The network is a flax module over padded (V, C) matrices + a precomputed
+    grid pyramid; there is no SparseConvTensor — geometry and compute are
+    separated (see ops/geometry.py).
+  * `forward_grouping` (:411-480) — reference: per-class Python loop with a
+    CUDA ball query and a host BFS round-trip per class.  Here: one
+    `lax.scan` over classes, each iteration compacting active points and
+    running the on-device ball_cluster; everything stays in the jitted step.
+  * Proposals live in a static-capacity CSR layout (entry point ids + entry
+    segment ids + validity) instead of dynamically sized
+    (proposals_idx, proposals_offset) pairs (:458-480).
+  * `clusters_voxelization` (:655-709) re-voxelizes proposals on device via
+    the same voxelize/rulebook machinery (batch dim = proposal id).
+  * Losses reproduce `point_wise_loss` (:152-170) and `instance_loss`
+    (:172-255) semantics exactly, with masked reductions instead of boolean
+    indexing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax import struct
+
+from ..ops.geometry import LevelGeom, Pyramid, build_pyramid
+from ..ops.grouping import ball_cluster
+from ..ops.masks import mask_iou_on_cluster, mask_iou_on_pred, mask_label
+from ..ops.segment import segment_count, segment_max, segment_mean, segment_min
+from ..ops.voxelize import devoxelize, voxel_features, voxelize
+from ..util.config import getattr_or
+from .blocks import MLP, Dense, MaskedBatchNorm, SubMConv, UBlock
+
+
+@struct.dataclass
+class SceneBatch:
+    """Static-shape device batch (built by the data pipeline)."""
+    pyramid: Pyramid
+    feats: jax.Array          # (P, C_in) colors (noise added by pipeline)
+    coords_float: jax.Array   # (P, 3) metric coords
+    batch_idxs: jax.Array     # (P,) int32
+    semantic_labels: jax.Array    # (P,) int32, ignore_label padded
+    instance_labels: jax.Array    # (P,) int32, ignore_label padded
+    pt_offset_labels: jax.Array   # (P, 3)
+    instance_pointnum: jax.Array  # (I,) int32
+    instance_cls: jax.Array       # (I,) int32 (ignore_label for pads)
+    instance_valid: jax.Array     # (I,) bool
+
+
+class Capacities(NamedTuple):
+    """Static paddings — the central TPU design knob (SURVEY.md §7 "hard
+    parts"): every dynamic size in the reference becomes a capacity + mask."""
+    points: int                 # P: padded point count
+    voxels: tuple               # per-U-Net-level voxel caps
+    grouping_points: int        # per-class compaction cap in forward_grouping
+    proposals: int              # Pmax (train: == train_cfg.max_proposal_num)
+    proposal_entries: int       # S: CSR entry cap (sumNPoint analogue)
+    instances: int              # I: gt instance cap
+    inst_voxels: tuple          # tiny-U-Net level caps
+
+
+class Proposals(NamedTuple):
+    """Static-capacity CSR proposal layout (replaces proposals_idx/offset)."""
+    entry_pt: jax.Array      # (S,) int32 point index per entry
+    entry_seg: jax.Array     # (S,) int32 proposal id per entry (cap = invalid)
+    entry_valid: jax.Array   # (S,) bool
+    n_proposals: jax.Array   # () int32
+    prop_valid: jax.Array    # (Pmax,) bool
+
+
+class SoftGroupNet(nn.Module):
+    """Parameterized part of SoftGroup: backbone U-Net + point heads + the
+    top-down refinement heads (`softgroup.py:56-77`)."""
+    channels: int = 32
+    num_blocks: int = 7
+    semantic_classes: int = 20
+    instance_classes: int = 18
+    semantic_only: bool = False
+    fixed_modules: Sequence[str] = ()
+
+    def setup(self):
+        ch = self.channels
+        self.input_conv = SubMConv(ch)
+        self.unet = UBlock([ch * (i + 1) for i in range(self.num_blocks)],
+                           block_reps=2)
+        self.output_norm = MaskedBatchNorm(ch)
+        self.semantic_linear = MLP(self.semantic_classes, norm=True,
+                                   num_layers=2)
+        self.offset_linear = MLP(3, norm=True, num_layers=2)
+        if not self.semantic_only:
+            self.tiny_unet = UBlock([ch, 2 * ch], block_reps=2)
+            self.tiny_output_norm = MaskedBatchNorm(ch)
+            self.cls_linear = Dense(self.instance_classes + 1)
+            self.mask_linear = MLP(self.instance_classes + 1, norm=False,
+                                   num_layers=2)
+            self.iou_score_linear = Dense(self.instance_classes + 1)
+
+    def _t(self, name: str, train: bool) -> bool:
+        """BN of frozen modules stays in eval mode during training
+        (`softgroup.py:98-104`)."""
+        return train and name not in self.fixed_modules
+
+    def backbone(self, feats: jax.Array, pyramid: Pyramid, train: bool):
+        """input_conv -> UBlock -> BN/ReLU -> devoxelize -> point heads
+        (`forward_backbone`, softgroup.py:363-378)."""
+        lv0 = pyramid.levels[0]
+        x = voxel_features(feats, pyramid.p2v, lv0.vox_valid.shape[0])
+        x = self.input_conv(x, lv0.subm_rules)
+        x = self.unet(x, pyramid.levels, self._t('unet', train))
+        x = self.output_norm(x, lv0.vox_valid,
+                             self._t('output_layer', train))
+        x = nn.relu(x)
+        output_feats = devoxelize(x, pyramid.p2v)
+        pmask = pyramid.point_valid
+        semantic_scores = self.semantic_linear(
+            output_feats, pmask, self._t('semantic_linear', train))
+        pt_offsets = self.offset_linear(
+            output_feats, pmask, self._t('offset_linear', train))
+        return semantic_scores, pt_offsets, output_feats
+
+    def backbone_voxel_heads(self, feats: jax.Array, pyramid: Pyramid,
+                             train: bool):
+        """SoftGroup++ lvl_fusion: keep voxel-level outputs, skip devoxelize
+        (`softgroup.py:309-312,373-374`)."""
+        lv0 = pyramid.levels[0]
+        x = voxel_features(feats, pyramid.p2v, lv0.vox_valid.shape[0])
+        x = self.input_conv(x, lv0.subm_rules)
+        x = self.unet(x, pyramid.levels, self._t('unet', train))
+        x = self.output_norm(x, lv0.vox_valid, self._t('output_layer', train))
+        x = nn.relu(x)
+        vmask = lv0.vox_valid
+        semantic_scores = self.semantic_linear(
+            x, vmask, self._t('semantic_linear', train))
+        pt_offsets = self.offset_linear(x, vmask,
+                                        self._t('offset_linear', train))
+        return semantic_scores, pt_offsets, x
+
+    def instance_head(self, inst_vox_feats: jax.Array,
+                      inst_levels: tuple[LevelGeom, ...], entry_p2v: jax.Array,
+                      entry_seg: jax.Array, entry_valid: jax.Array,
+                      n_proposal_cap: int, train: bool):
+        """tiny U-Net + cls / mask / iou heads (`forward_instance`,
+        softgroup.py:509-522)."""
+        lv0 = inst_levels[0]
+        x = self.tiny_unet(inst_vox_feats, inst_levels, train)
+        x = self.tiny_output_norm(x, lv0.vox_valid, train)
+        x = nn.relu(x)
+        # per-voxel mask scores, gathered back to CSR entries (:514-515)
+        mask_scores_vox = self.mask_linear(x, lv0.vox_valid, train)
+        mask_scores = mask_scores_vox[
+            jnp.clip(entry_p2v, 0, mask_scores_vox.shape[0] - 1)]
+        # proposal-level pooled features -> cls / iou (:519-521); the voxel's
+        # proposal id is its batch coordinate
+        vox_seg = jnp.where(lv0.vox_valid, lv0.vox_coords[:, 0],
+                            n_proposal_cap)
+        pooled = segment_mean(x, vox_seg, n_proposal_cap)
+        cls_scores = self.cls_linear(pooled)
+        iou_scores = self.iou_score_linear(pooled)
+        return cls_scores, iou_scores, mask_scores
+
+    def __call__(self, feats, pyramid, train: bool = False):
+        # used for parameter initialization of the backbone path
+        return self.backbone(feats, pyramid, train)
+
+    def loss_forward(self, batch: SceneBatch, cfg, caps: Capacities,
+                     rng: jax.Array):
+        """Full training forward -> (total_loss, log_vars)
+        (`forward_train`, softgroup.py:112-150)."""
+        feats = batch.feats
+        if cfg.with_coords:
+            feats = jnp.concatenate([feats, batch.coords_float], axis=1)
+        sem, off, outf = self.backbone(feats, batch.pyramid, train=True)
+        losses = point_wise_loss(sem, off, batch.semantic_labels,
+                                 batch.instance_labels, batch.pt_offset_labels,
+                                 batch.pyramid.point_valid, cfg)
+        if not self.semantic_only:
+            props = forward_grouping(
+                jax.lax.stop_gradient(sem), jax.lax.stop_gradient(off),
+                batch.batch_idxs, batch.coords_float,
+                batch.pyramid.point_valid, cfg, caps)
+            vox_feats, levels, entry_p2v = clusters_voxelization(
+                props, outf, batch.coords_float,
+                float(cfg.instance_voxel_cfg.scale),
+                int(cfg.instance_voxel_cfg.spatial_shape), caps,
+                rand_quantize=True, rng=rng)
+            cls_scores, iou_scores, mask_scores = self.instance_head(
+                vox_feats, levels, entry_p2v, props.entry_seg,
+                props.entry_valid, caps.proposals, train=True)
+            losses.update(instance_loss(
+                cls_scores, mask_scores, iou_scores, props,
+                batch.instance_labels, batch.instance_pointnum,
+                batch.instance_cls, batch.instance_valid, cfg))
+        return parse_losses(losses)
+
+    def test_forward(self, batch: SceneBatch, cfg, caps: Capacities):
+        """Device part of inference (`forward_test`, softgroup.py:299-361);
+        host-side instance extraction / panoptic fusion live in
+        evaluation/postprocess.py."""
+        feats = batch.feats
+        if cfg.with_coords:
+            feats = jnp.concatenate([feats, batch.coords_float], axis=1)
+        sem, off, outf = self.backbone(feats, batch.pyramid, train=False)
+        semantic_preds = jnp.argmax(sem, axis=1)
+        out = dict(semantic_scores=sem, pt_offsets=off,
+                   semantic_preds=semantic_preds)
+        if not self.semantic_only:
+            props = forward_grouping(sem, off, batch.batch_idxs,
+                                     batch.coords_float,
+                                     batch.pyramid.point_valid, cfg, caps)
+            vox_feats, levels, entry_p2v = clusters_voxelization(
+                props, outf, batch.coords_float,
+                float(cfg.instance_voxel_cfg.scale),
+                int(cfg.instance_voxel_cfg.spatial_shape), caps)
+            cls_scores, iou_scores, mask_scores = self.instance_head(
+                vox_feats, levels, entry_p2v, props.entry_seg,
+                props.entry_valid, caps.proposals, train=False)
+            out.update(
+                cls_scores=jax.nn.softmax(cls_scores.astype(jnp.float32), -1),
+                iou_scores=iou_scores, mask_scores=mask_scores,
+                entry_pt=props.entry_pt, entry_seg=props.entry_seg,
+                entry_valid=props.entry_valid, n_proposals=props.n_proposals)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Grouping (no parameters)
+# ---------------------------------------------------------------------------
+
+def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
+                     batch_idxs: jax.Array, coords_float: jax.Array,
+                     point_valid: jax.Array, cfg: Any, caps: Any) -> Proposals:
+    """Class-wise soft grouping (`forward_grouping`, softgroup.py:411-480).
+
+    One `lax.scan` over semantic classes; each class thresholds the softmax
+    scores (soft assignment — points can join several classes), compacts the
+    active points, clusters their offset-shifted coordinates with
+    ball_cluster, and applies the class-size threshold
+    (`bfs_cluster.cpp:70-78`: absolute npoint_thr when class_numpoint_mean is
+    -1, else relative).  Classes in `ignore_classes` and classes with fewer
+    than test min_npoint active points yield nothing (:434-439).
+    """
+    p = semantic_scores.shape[0]
+    n_cls = semantic_scores.shape[1]
+    n_c = caps.grouping_points
+    scores = jax.nn.softmax(semantic_scores.astype(jnp.float32), axis=-1)
+
+    ignore = np.zeros((n_cls,), bool)
+    for c in cfg.grouping_cfg.ignore_classes:
+        ignore[c] = True
+    ignore = jnp.asarray(ignore)
+    numpoint_mean = jnp.asarray(cfg.grouping_cfg.class_numpoint_mean,
+                                jnp.float32)
+    radius = float(cfg.grouping_cfg.radius)
+    score_thr = float(cfg.grouping_cfg.score_thr)
+    npoint_thr = float(cfg.grouping_cfg.npoint_thr)
+    min_npoint = int(cfg.test_cfg.min_npoint)
+
+    def per_class(_, xs):
+        class_id, ignored, np_mean = xs
+        score_c = jnp.take_along_axis(
+            scores, jnp.full((p, 1), class_id, jnp.int32), axis=1)[:, 0]
+        active = (score_c > score_thr) & point_valid & ~ignored
+        count = active.sum()
+        enough = count >= min_npoint
+        idx = jnp.nonzero(active, size=n_c, fill_value=p)[0].astype(jnp.int32)
+        valid_c = (idx < p) & enough
+        ci = jnp.clip(idx, 0, p - 1)
+        shifted = coords_float[ci] + pt_offsets[ci]
+        labels = ball_cluster(shifted, batch_idxs[ci], valid_c, radius)
+        # component sizes + class-size threshold
+        seg = jnp.where(labels >= 0, labels, n_c)
+        sizes = segment_count(seg, n_c).astype(jnp.float32)
+        thr = jnp.where(np_mean == -1.0, npoint_thr, npoint_thr * np_mean)
+        keep = valid_c & (labels >= 0) & (sizes[jnp.clip(labels, 0, n_c - 1)]
+                                          >= thr)
+        return None, (idx, jnp.where(keep, labels, n_c), keep)
+
+    xs = (jnp.arange(n_cls, dtype=jnp.int32), ignore, numpoint_mean)
+    _, (pt_idx, labels, keep) = jax.lax.scan(per_class, None, xs)
+
+    # ---- merge classes into a global static CSR (:467-480) ----------------
+    s_cap = caps.proposal_entries
+    p_max = caps.proposals
+    key = jnp.where(keep,
+                    jnp.arange(n_cls, dtype=jnp.int32)[:, None] * n_c + labels,
+                    jnp.iinfo(jnp.int32).max).reshape(-1)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    valid_s = key_s != jnp.iinfo(jnp.int32).max
+    prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
+    firsts = valid_s & (key_s != prev)
+    pid = jnp.cumsum(firsts.astype(jnp.int32)) - 1
+    n_proposals = jnp.minimum(jnp.maximum(pid[-1] + 1, 0), p_max)
+
+    entry_pt = pt_idx.reshape(-1)[order][:s_cap]
+    pid = pid[:s_cap]
+    entry_valid = valid_s[:s_cap] & (pid < p_max) & (pid >= 0)
+    entry_seg = jnp.where(entry_valid, pid, p_max).astype(jnp.int32)
+    prop_valid = jnp.arange(p_max) < n_proposals
+    return Proposals(entry_pt.astype(jnp.int32), entry_seg, entry_valid,
+                     n_proposals, prop_valid)
+
+
+# ---------------------------------------------------------------------------
+# Cluster re-voxelization (no parameters)
+# ---------------------------------------------------------------------------
+
+def clusters_voxelization(props: Proposals, feats: jax.Array,
+                          coords_float: jax.Array, scale: float,
+                          spatial_shape: int, caps: Any,
+                          rand_quantize: bool = False,
+                          rng: jax.Array | None = None):
+    """Scale each proposal into a spatial_shape^3 grid and voxelize, with the
+    proposal id as the batch coordinate (`clusters_voxelization`,
+    softgroup.py:655-709).  Returns (vox_feats, levels, entry_p2v).
+    """
+    p_max = props.prop_valid.shape[0]
+    ci = jnp.clip(props.entry_pt, 0, coords_float.shape[0] - 1)
+    coords = coords_float[ci]
+    fe = feats[ci]
+    seg = jnp.where(props.entry_valid, props.entry_seg, p_max)
+
+    cmin = segment_min(coords, seg, p_max)
+    cmax = segment_max(coords, seg, p_max)
+    extent = jnp.max(cmax - cmin, axis=1)
+    clusters_scale = 1.0 / jnp.maximum(extent / spatial_shape, 1e-12) - 0.01
+    clusters_scale = jnp.minimum(clusters_scale, scale)
+
+    cmin_s = cmin * clusters_scale[:, None]
+    cmax_s = cmax * clusters_scale[:, None]
+    if rand_quantize:
+        # one random 3-vector shared by all clusters (:692-696)
+        r1 = jax.random.uniform(rng, (3,))
+        r2 = jax.random.uniform(jax.random.fold_in(rng, 1), (3,))
+        rng_range = cmax_s - cmin_s
+        cmin_s = cmin_s - jnp.maximum(spatial_shape - rng_range - 0.001, 0) * r1
+        cmin_s = cmin_s - jnp.minimum(spatial_shape - rng_range + 0.001, 0) * r2
+    sc_e = clusters_scale[jnp.clip(seg, 0, p_max - 1)]
+    mn_e = cmin_s[jnp.clip(seg, 0, p_max - 1)]
+    grid = coords * sc_e[:, None] - mn_e
+    grid = jnp.clip(jnp.floor(grid), 0, spatial_shape - 1).astype(jnp.int32)
+    c4 = jnp.concatenate([seg[:, None].astype(jnp.int32), grid], axis=1)
+
+    dims = jnp.full((3,), spatial_shape, jnp.int32)
+    vx = voxelize(c4, props.entry_valid, dims, caps.inst_voxels[0])
+    vox_feats = segment_mean(fe, vx.p2v, caps.inst_voxels[0])
+    levels = build_pyramid_from_voxels(vx, dims, caps.inst_voxels)
+    return vox_feats, levels, vx.p2v
+
+
+def build_pyramid_from_voxels(vx, dims, capacities):
+    """Two-level pyramid geometry for the tiny U-Net from an existing
+    device-side voxelization."""
+    from ..ops.rulebook import build_downsample, build_subm_rules
+    levels = []
+    cur_coords, cur_valid, cur_dims = vx.vox_coords, vx.vox_valid, dims
+    for lvl in range(len(capacities)):
+        subm = build_subm_rules(cur_coords, cur_valid, cur_dims)
+        if lvl + 1 < len(capacities):
+            (nxt_coords, nxt_valid, _, down_rules, parent_idx,
+             child_tap) = build_downsample(cur_coords, cur_valid, cur_dims,
+                                           capacities[lvl + 1])
+            levels.append(LevelGeom(cur_coords, cur_valid, subm, down_rules,
+                                    parent_idx, child_tap, cur_dims))
+            cur_coords, cur_valid = nxt_coords, nxt_valid
+            cur_dims = (cur_dims + 1) // 2
+        else:
+            levels.append(LevelGeom(cur_coords, cur_valid, subm, None, None,
+                                    None, cur_dims))
+    return tuple(levels)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def point_wise_loss(semantic_scores, pt_offsets, semantic_labels,
+                    instance_labels, pt_offset_labels, point_valid, cfg):
+    """Semantic CE (+class weights) with ignore_index, masked offset L1
+    (`point_wise_loss`, softgroup.py:152-170)."""
+    ignore = cfg.ignore_label
+    n_cls = semantic_scores.shape[1]
+    sem_valid = point_valid & (semantic_labels != ignore)
+    tgt = jnp.clip(semantic_labels, 0, n_cls - 1)
+    logp = jax.nn.log_softmax(semantic_scores.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+    weight = getattr_or(cfg, 'semantic_weight', None)
+    if weight is not None:
+        w = jnp.asarray(weight, jnp.float32)[tgt]
+    else:
+        w = jnp.ones_like(ce)
+    w = w * sem_valid.astype(jnp.float32)
+    semantic_loss = (ce * w).sum() / jnp.maximum(w.sum(), 1e-12)
+
+    pos = point_valid & (instance_labels != ignore)
+    diff = jnp.abs(pt_offsets.astype(jnp.float32)
+                   - pt_offset_labels.astype(jnp.float32))
+    npos = pos.sum()
+    offset_loss = jnp.where(
+        npos > 0,
+        (diff * pos[:, None]).sum() / jnp.maximum(npos, 1).astype(jnp.float32),
+        0.0)
+    return dict(semantic_loss=semantic_loss, offset_loss=offset_loss)
+
+
+def instance_loss(cls_scores, mask_scores, iou_scores, props: Proposals,
+                  instance_labels, instance_pointnum, instance_cls,
+                  instance_valid, cfg):
+    """Refinement losses (`instance_loss`, softgroup.py:172-255): proposal-gt
+    assignment by IoU, CE cls loss, masked BCE mask loss, MSE IoU-score loss.
+    All reductions masked so empty batches degrade to zero like the
+    reference's early-out (:175-184)."""
+    k = cfg.instance_classes
+    p_max = props.prop_valid.shape[0]
+    n_inst = instance_pointnum.shape[0]
+    pos_iou_thr = float(cfg.train_cfg.pos_iou_thr)
+
+    ious = mask_iou_on_cluster(props.entry_pt, props.entry_seg,
+                               props.entry_valid, instance_labels,
+                               instance_pointnum, p_max)  # (Pmax, I)
+
+    fg = instance_valid & (instance_cls != cfg.ignore_label)
+    any_fg = fg.any()
+    fg_ious = jnp.where(fg[None, :], ious, -1.0)
+    max_iou = fg_ious.max(axis=1)
+    argmax_iou = jnp.argmax(fg_ious, axis=1)
+    assigned = (max_iou >= pos_iou_thr) & props.prop_valid
+
+    # low-quality matching (`softgroup.py:211-217`, stpls3d): each fg gt
+    # claims its best proposal; later gts win ties like the reference loop.
+    if getattr_or(cfg.train_cfg, 'match_low_quality', False):
+        min_pos_thr = float(getattr_or(cfg.train_cfg, 'min_pos_thr', 0.0))
+        col_ious = jnp.where(props.prop_valid[:, None], ious, -1.0)
+        gt_max = col_ious.max(axis=0)
+        gt_argmax = jnp.argmax(col_ious, axis=0)
+        claim_ok = fg & (gt_max >= min_pos_thr)
+        claimer = jnp.full((p_max + 1,), -1, jnp.int32).at[
+            jnp.where(claim_ok, gt_argmax, p_max)].max(
+                jnp.where(claim_ok, jnp.arange(n_inst, dtype=jnp.int32), -1)
+        )[:p_max]
+        assigned = assigned | (claimer >= 0)
+        argmax_iou = jnp.where(claimer >= 0, jnp.maximum(claimer, 0),
+                               argmax_iou)
+
+    gt_cls = instance_cls[jnp.clip(argmax_iou, 0, n_inst - 1)]
+    labels = jnp.where(assigned, jnp.clip(gt_cls, 0, k - 1), k)
+
+    # cls loss: CE mean over valid proposals (:219-224)
+    logp = jax.nn.log_softmax(cls_scores.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    pv = props.prop_valid.astype(jnp.float32)
+    have = any_fg & (props.n_proposals > 0)
+    cls_loss = jnp.where(have, (ce * pv).sum() / jnp.maximum(pv.sum(), 1.0),
+                         0.0)
+
+    # mask loss: BCE on per-entry sigmoid sliced at the assigned class
+    # (:226-238); targets from mask_label, -1 rows ignored
+    seg = jnp.clip(props.entry_seg, 0, p_max - 1)
+    mask_cls_label = labels[seg]
+    ms = jnp.take_along_axis(
+        mask_scores.astype(jnp.float32), mask_cls_label[:, None], axis=1)[:, 0]
+    ms_sig = jax.nn.sigmoid(ms)
+    mlabel = mask_label(props.entry_pt, props.entry_seg, props.entry_valid,
+                        instance_labels, instance_cls, ious, pos_iou_thr,
+                        cfg.ignore_label)
+    mw = ((mlabel != -1.0) & props.entry_valid).astype(jnp.float32)
+    tgt = jnp.clip(mlabel, 0.0, 1.0)
+    eps = 1e-12
+    bce = -(tgt * jnp.log(jnp.maximum(ms_sig, eps))
+            + (1 - tgt) * jnp.log(jnp.maximum(1 - ms_sig, eps)))
+    mask_loss = jnp.where(have, (bce * mw).sum() / (mw.sum() + 1.0), 0.0)
+
+    # iou score loss: MSE vs mask-gated IoU, fg proposals only (:240-250)
+    ious_pred = mask_iou_on_pred(props.entry_pt, props.entry_seg,
+                                 props.entry_valid, instance_labels,
+                                 instance_pointnum,
+                                 jax.lax.stop_gradient(ms_sig), p_max)
+    fg_pred = jnp.where(fg[None, :], ious_pred, -1.0)
+    gt_ious = jnp.maximum(fg_pred.max(axis=1), 0.0)
+    iou_slice = jnp.take_along_axis(
+        iou_scores.astype(jnp.float32), labels[:, None], axis=1)[:, 0]
+    iw = ((labels < k) & props.prop_valid).astype(jnp.float32)
+    iou_score_loss = jnp.where(
+        have, (jnp.square(iou_slice - gt_ious) * iw).sum() / (iw.sum() + 1.0),
+        0.0)
+
+    num_pos = ((labels < k) & props.prop_valid).sum().astype(jnp.float32)
+    num_neg = ((labels >= k) & props.prop_valid).sum().astype(jnp.float32)
+    return dict(cls_loss=cls_loss, mask_loss=mask_loss,
+                iou_score_loss=iou_score_loss, num_pos=num_pos,
+                num_neg=num_neg)
+
+
+def parse_losses(losses: dict):
+    """Total = sum of entries whose key contains 'loss'
+    (`parse_losses`, softgroup.py:257-297); cross-device averaging happens in
+    the pjit train step via lax.pmean."""
+    total = sum(v for k, v in losses.items() if 'loss' in k)
+    log_vars = dict(losses)
+    log_vars['loss'] = total
+    return total, log_vars

@@ -1,0 +1,97 @@
+"""ball_cluster vs. an exact numpy connected-components oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from softgroup_tpu.ops.grouping import ball_cluster
+
+
+def cc_oracle(pts, batch, radius):
+    """Exact union-find over the full r-ball graph."""
+    n = len(pts)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if batch[i] == batch[j] and \
+                    np.sum((pts[i] - pts[j]) ** 2) <= radius ** 2:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n)])
+
+
+def canon(labels):
+    """Canonical cluster partition as a set of frozensets."""
+    out = {}
+    for i, l in enumerate(labels):
+        out.setdefault(l, set()).add(i)
+    return {frozenset(v) for v in out.values()}
+
+
+def run_case(pts, batch, radius, pad_to=None, **kw):
+    n = len(pts)
+    pad_to = pad_to or n
+    p = np.zeros((pad_to, 3), np.float32)
+    p[:n] = pts
+    b = np.zeros((pad_to,), np.int32)
+    b[:n] = batch
+    valid = np.arange(pad_to) < n
+    labels = np.asarray(ball_cluster(jnp.asarray(p), jnp.asarray(b),
+                                     jnp.asarray(valid), radius, **kw))
+    assert (labels[n:] == -1).all()
+    return labels[:n]
+
+
+class TestBallCluster:
+
+    def test_uniform_random_matches_oracle(self, rng):
+        pts = rng.rand(80, 3).astype(np.float32) * 0.6
+        batch = np.zeros(80, np.int64)
+        got = run_case(pts, batch, 0.08, pad_to=96,
+                       neighbors_per_cell=8, own_window=8)
+        expect = cc_oracle(pts, batch, 0.08)
+        assert canon(got) == canon(expect)
+
+    def test_dense_blobs(self, rng):
+        """Offset-shifted instances collapse into tight blobs — the common
+        case; blobs further apart than r must stay separate."""
+        centers = np.array([[0, 0, 0], [0.5, 0, 0], [0, 0.5, 0]])
+        pts = np.concatenate(
+            [c + rng.randn(60, 3) * 0.01 for c in centers]).astype(np.float32)
+        batch = np.zeros(len(pts), np.int64)
+        got = run_case(pts, batch, 0.05)
+        expect = cc_oracle(pts, batch, 0.05)
+        assert canon(got) == canon(expect)
+
+    def test_batch_separation(self, rng):
+        """Identical coordinates in different batch items never connect
+        (reference: per-batch ball query, bfs_cluster.cu:23-30)."""
+        pts = np.tile(rng.rand(30, 3).astype(np.float32) * 0.1, (2, 1))
+        batch = np.repeat([0, 1], 30)
+        got = run_case(pts, batch, 0.05)
+        assert canon(got) == canon(cc_oracle(pts, batch, 0.05))
+        assert len({got[i] for i in range(30)} &
+                   {got[i] for i in range(30, 60)}) == 0
+
+    def test_chain_connectivity(self):
+        """A long chain of points spaced just under r forms one component
+        (stresses propagation round count)."""
+        m = 150
+        pts = np.zeros((m, 3), np.float32)
+        pts[:, 0] = np.arange(m) * 0.039
+        batch = np.zeros(m, np.int64)
+        got = run_case(pts, batch, 0.04)
+        assert len(canon(got)) == 1
+
+    def test_all_invalid(self):
+        labels = np.asarray(ball_cluster(
+            jnp.zeros((16, 3)), jnp.zeros((16,), jnp.int32),
+            jnp.zeros((16,), bool), 0.04))
+        assert (labels == -1).all()

@@ -1,0 +1,119 @@
+"""End-to-end model smoke tests on synthetic scenes: loss forward + grads,
+test forward, shape/finite checks.  Small capacities to keep CPU compiles
+manageable."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from softgroup_tpu.data.padding import build_scene_batch
+from softgroup_tpu.data.synthetic import collate_scenes, make_scene
+from softgroup_tpu.model.softgroup import (Capacities, SoftGroupNet,
+                                           parse_losses)
+from softgroup_tpu.util.config import Config
+
+CFG = Config(dict(
+    channels=8,
+    num_blocks=3,
+    semantic_classes=6,
+    instance_classes=4,
+    semantic_only=False,
+    ignore_label=-100,
+    with_coords=True,
+    grouping_cfg=dict(
+        score_thr=0.2,
+        radius=0.3,
+        mean_active=300,
+        class_numpoint_mean=[-1.0] * 6,
+        npoint_thr=10,  # absolute (mean == -1)
+        ignore_classes=[0, 1],
+    ),
+    instance_voxel_cfg=dict(scale=10, spatial_shape=10),
+    train_cfg=dict(max_proposal_num=32, pos_iou_thr=0.5),
+    test_cfg=dict(x4_split=False, cls_score_thr=0.001, mask_score_thr=-0.5,
+                  min_npoint=10, eval_tasks=['semantic', 'instance']),
+))
+
+CAPS = Capacities(points=4096, voxels=(2048, 1024, 512),
+                  grouping_points=2048, proposals=32, proposal_entries=4096,
+                  instances=32, inst_voxels=(2048, 512))
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(1)
+    scenes = [make_scene(rng, n_points=1500, n_instances=4, room=3.0,
+                         semantic_classes=6) for _ in range(2)]
+    data = collate_scenes(scenes, scale=10.0)
+    assert len(data['coords']) <= CAPS.points
+    return build_scene_batch(
+        data['coords'], data['coords_float'], data['feats'],
+        data['semantic_labels'], data['instance_labels'],
+        data['pt_offset_labels'], data['instance_pointnum'],
+        data['instance_cls'], data['spatial_shape'], CAPS, num_levels=3)
+
+
+@pytest.fixture(scope="module")
+def net_and_vars(batch):
+    net = SoftGroupNet(channels=CFG.channels, num_blocks=CFG.num_blocks,
+                       semantic_classes=CFG.semantic_classes,
+                       instance_classes=CFG.instance_classes)
+    feats = jnp.concatenate([batch.feats, batch.coords_float], axis=1)
+    variables = net.init(jax.random.PRNGKey(0), feats, batch.pyramid,
+                         train=False)
+    return net, variables
+
+
+class TestModel:
+
+    def test_backbone_shapes(self, batch, net_and_vars):
+        net, variables = net_and_vars
+        feats = jnp.concatenate([batch.feats, batch.coords_float], axis=1)
+        sem, off, outf = net.apply(variables, feats, batch.pyramid,
+                                   train=False)
+        assert sem.shape == (CAPS.points, CFG.semantic_classes)
+        assert off.shape == (CAPS.points, 3)
+        assert outf.shape == (CAPS.points, CFG.channels)
+        pv = np.asarray(batch.pyramid.point_valid)
+        assert np.isfinite(np.asarray(sem)[pv]).all()
+
+    def test_loss_forward_and_grads(self, batch, net_and_vars):
+        net, variables = net_and_vars
+
+        def loss_fn(params):
+            (loss, log_vars), _ = net.apply(
+                {'params': params, 'batch_stats': variables['batch_stats']},
+                batch, CFG, CAPS, jax.random.PRNGKey(1),
+                method=net.loss_forward, mutable=['batch_stats'])
+            return loss, log_vars
+
+        (loss, log_vars), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables['params'])
+        assert np.isfinite(float(loss))
+        for k in ('semantic_loss', 'offset_loss', 'cls_loss', 'mask_loss',
+                  'iou_score_loss'):
+            assert k in log_vars and np.isfinite(float(log_vars[k])), k
+        flat = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+        # backbone receives gradient
+        gsum = sum(float(np.abs(np.asarray(g)).sum()) for g in flat)
+        assert gsum > 0
+
+    def test_test_forward(self, batch, net_and_vars):
+        net, variables = net_and_vars
+        out = net.apply(variables, batch, CFG, CAPS, method=net.test_forward)
+        assert out['semantic_preds'].shape == (CAPS.points,)
+        assert out['cls_scores'].shape == (CAPS.proposals,
+                                           CFG.instance_classes + 1)
+        assert out['mask_scores'].shape == (CAPS.proposal_entries,
+                                            CFG.instance_classes + 1)
+        n_props = int(out['n_proposals'])
+        assert 0 <= n_props <= CAPS.proposals
+        # proposals should exist on this synthetic scene
+        assert n_props > 0
+        ev = np.asarray(out['entry_valid'])
+        seg = np.asarray(out['entry_seg'])[ev]
+        assert (seg < n_props).all()
+        pts = np.asarray(out['entry_pt'])[ev]
+        assert (pts < CAPS.points).all()
