@@ -83,7 +83,14 @@ def build_pyramid_np(coords: np.ndarray, dims: np.ndarray, num_levels: int,
     When ``capacities`` is given, every per-level array is padded to the
     static capacity so repeated calls produce identical shapes (no
     recompilation across batches).
+
+    Uses the native C++ kernels (ops/native.py) when available, numpy
+    otherwise — identical outputs (tested in test_native.py).
     """
+    from . import native
+    if native.use_native():
+        return _build_pyramid_native(np.asarray(coords), dims, num_levels,
+                                     capacities)
     vox_coords, p2v, _ = voxelize_np(np.asarray(coords))
     n_pts = len(p2v)
     levels = []
@@ -115,6 +122,41 @@ def build_pyramid_np(coords: np.ndarray, dims: np.ndarray, num_levels: int,
         levels=tuple(levels),
         p2v=jnp.asarray(np.minimum(p2v, cap0), jnp.int32),
         point_valid=jnp.ones((n_pts,), bool),
+    )
+
+
+def _build_pyramid_native(coords, dims, num_levels, capacities):
+    from . import native
+    vox_coords, p2v, m = native.voxelize_native(coords)
+    levels = []
+    cur = vox_coords
+    cur_dims = np.asarray(dims, np.int64)
+    for lvl in range(num_levels):
+        cap = capacities[lvl] if capacities is not None else len(cur)
+        if len(cur) > cap:
+            raise ValueError(
+                f"level {lvl}: {len(cur)} voxels exceed capacity {cap}")
+        subm = native.subm_rules_native(cur, cur_dims)
+        if lvl + 1 < num_levels:
+            nxt, down_rules, parent_idx, child_tap = \
+                native.downsample_native(cur)
+            cap_next = (capacities[lvl + 1] if capacities is not None
+                        else len(nxt))
+            if len(nxt) > cap_next:
+                raise ValueError(
+                    f"level {lvl + 1}: {len(nxt)} voxels exceed {cap_next}")
+            levels.append(_pad_level(cur, subm, down_rules, parent_idx,
+                                     child_tap, cap, cap_next, cur_dims))
+            cur = nxt
+            cur_dims = (cur_dims + 1) // 2
+        else:
+            levels.append(_pad_level(cur, subm, None, None, None, cap, 0,
+                                     cur_dims))
+    cap0 = capacities[0] if capacities is not None else len(vox_coords)
+    return Pyramid(
+        levels=tuple(levels),
+        p2v=jnp.asarray(np.minimum(p2v, cap0), jnp.int32),
+        point_valid=jnp.ones((len(p2v),), bool),
     )
 
 

@@ -59,9 +59,8 @@ def net_and_vars(batch):
     net = SoftGroupNet(channels=CFG.channels, num_blocks=CFG.num_blocks,
                        semantic_classes=CFG.semantic_classes,
                        instance_classes=CFG.instance_classes)
-    feats = jnp.concatenate([batch.feats, batch.coords_float], axis=1)
-    variables = net.init(jax.random.PRNGKey(0), feats, batch.pyramid,
-                         train=False)
+    variables = net.init(jax.random.PRNGKey(0), batch, CFG, CAPS,
+                         method=net.test_forward)
     return net, variables
 
 
