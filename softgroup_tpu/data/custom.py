@@ -24,6 +24,7 @@ class CustomDataset:
 
     CLASSES: tuple = ()
     NYU_ID = None
+    CROP_STEP = 32  # crop window shrink step (S3DIS overrides to 64)
 
     def __init__(self, data_root, prefix, suffix, voxel_cfg=None,
                  training=True, with_label=True, repeat=1, logger=None,
@@ -77,7 +78,7 @@ class CustomDataset:
         for _ in range(5):
             xyz_offset, valid = crop_to_size(
                 xyz_scaled, self.voxel_cfg.max_npoint,
-                self.voxel_cfg.spatial_shape[1], rng)
+                self.voxel_cfg.spatial_shape[1], rng, step=self.CROP_STEP)
             if valid.sum() >= self.voxel_cfg.min_npoint:
                 xyz_scaled = xyz_offset
                 break

@@ -45,7 +45,7 @@ def default_capacities(n_points: int, voxel_counts: Sequence[int],
     return Capacities(
         points=p,
         voxels=voxels,
-        grouping_points=round_capacity(n_points, minimum=4096),
+        grouping_points=round_capacity(2 * n_points, minimum=8192),
         proposals=max_prop,
         proposal_entries=round_capacity(4 * n_points, minimum=8192),
         instances=256,
@@ -61,13 +61,19 @@ def build_scene_batch(coords: np.ndarray, coords_float: np.ndarray,
                       instance_pointnum: np.ndarray,
                       instance_cls: np.ndarray, spatial_shape: np.ndarray,
                       caps: Capacities, num_levels: int,
-                      ignore_label: int = -100) -> SceneBatch:
+                      ignore_label: int = -100,
+                      batch_idxs: np.ndarray | None = None) -> SceneBatch:
     """Pad a collated (numpy) batch into a SceneBatch with its pyramid.
 
     coords: (N, 4) int (batch, x, y, z) voxel coords (scaled, shifted >= 0).
     spatial_shape: (3,) level-0 grid extent (already clipped like
     `custom.py:237-238`).
+    batch_idxs: optional grouping batch ids; defaults to coords[:, 0]
+    (differs for S3DIS x4_split, where parts voxelize separately but group
+    as one scene).
     """
+    if batch_idxs is None:
+        batch_idxs = coords[:, 0]
     n = len(coords)
     assert n <= caps.points, f"{n} points exceed capacity {caps.points}"
     pyramid = build_pyramid_np(coords, spatial_shape, num_levels,
@@ -91,7 +97,7 @@ def build_scene_batch(coords: np.ndarray, coords_float: np.ndarray,
         coords_float=jnp.asarray(
             pad_to(coords_float.astype(np.float32), caps.points, 0.0)),
         batch_idxs=jnp.asarray(
-            pad_to(coords[:, 0].astype(np.int32), caps.points, 0)),
+            pad_to(np.asarray(batch_idxs).astype(np.int32), caps.points, 0)),
         semantic_labels=jnp.asarray(
             pad_to(semantic_labels.astype(np.int32), caps.points,
                    ignore_label)),

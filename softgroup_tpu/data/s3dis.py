@@ -21,6 +21,7 @@ class S3DISDataset(CustomDataset):
 
     CLASSES = ('ceiling', 'floor', 'wall', 'beam', 'column', 'window', 'door',
                'chair', 'table', 'bookcase', 'sofa', 'board', 'clutter')
+    CROP_STEP = 64
 
     def __init__(self, x4_split=False, **kwargs):
         self.x4_split = x4_split
@@ -51,78 +52,39 @@ class S3DISDataset(CustomDataset):
         return xyz, rgb, semantic_label, instance_label
 
     def transform_test(self, xyz, rgb, semantic_label, instance_label):
+        """x4_split: huge rooms forward as 4 interleaved pseudo-batch-items
+        (reference splits, forwards separately and merges back,
+        `softgroup.py:380-409`; our batched pyramid handles the parts
+        natively, so rows keep their original order and the part id simply
+        becomes the voxel batch coordinate i % 4)."""
         if not self.x4_split:
             return super().transform_test(xyz, rgb, semantic_label,
                                           instance_label)
-        # interleave-split into 4 pseudo-batch-items; merged back after the
-        # backbone by merge_4_parts
-        inds = np.arange(len(xyz))
-        pieces = [inds[i::4] for i in range(4)]
-        xyz_aug = augment_xyz(xyz, self.rng)
-        coords, middles, rgbs, sems, insts = [], [], [], [], []
-        for b, piece in enumerate(pieces):
-            mid = xyz_aug[piece]
-            sc = mid * self.voxel_cfg.scale
-            sc = sc - sc.min(0)
-            coords.append(
-                np.concatenate([np.full((len(sc), 1), b), sc], axis=1))
-            middles.append(mid)
-            rgbs.append(rgb[piece])
-            sems.append(semantic_label[piece])
-            insts.append(instance_label[piece])
-        coords = np.concatenate(coords)
-        instance_label = relabel_instances(
-            np.concatenate(insts), np.ones(len(coords), bool))
-        return (coords, np.concatenate(middles), np.concatenate(rgbs),
-                np.concatenate(sems), instance_label)
+        n = len(xyz)
+        part = np.arange(n) % 4
+        xyz_middle = augment_xyz(xyz, self.rng)
+        xyz_scaled = xyz_middle * self.voxel_cfg.scale
+        for k in range(4):  # per-part min subtraction like the reference
+            m = part == k
+            xyz_scaled[m] -= xyz_scaled[m].min(0)
+        instance_label = relabel_instances(instance_label, np.ones(n, bool))
+        return xyz_scaled, xyz_middle, rgb, semantic_label, instance_label
 
     def __getitem__(self, index):
-        if self.training or not self.x4_split:
-            return super().__getitem__(index)
-        # x4_split test: transform already returns batched coords
-        import os.path as osp2
-        filename = self.filenames[index]
-        scan_id = osp2.basename(filename).replace(self.suffix, '')
-        data = self.load(filename)
-        coords, middles, rgbs, sems, inst = self.transform_test(*data)
-        from .synthetic import instance_info
-        inst = inst.astype(np.int32)
-        n_inst, pointnum, inst_cls, offsets = instance_info(
-            middles, inst, sems)
-        return dict(
-            scan_id=scan_id,
-            coord=np.floor(coords[:, 1:]).astype(np.int64),
-            coord4=np.floor(coords).astype(np.int64),
-            coord_float=middles.astype(np.float32),
-            feat=rgbs.astype(np.float32),
-            semantic_label=sems.astype(np.int64),
-            instance_label=inst,
-            inst_num=n_inst,
-            inst_pointnum=pointnum,
-            inst_cls=inst_cls,
-            pt_offset_label=offsets.astype(np.float32),
-        )
+        item = super().__getitem__(index)
+        if item is None or self.training or not self.x4_split:
+            return item
+        item['part'] = (np.arange(len(item['coord'])) % 4).astype(np.int64)
+        return item
 
     def collate_fn(self, samples):
+        batch = super().collate_fn(samples)
         if self.training or not self.x4_split:
-            return super().collate_fn(samples)
-        # single scan, 4 pseudo batch items; batch_idxs stay 0 (grouping runs
-        # on merged points, `s3dis.py:80-115`)
+            return batch
+        # single scan; voxel batch coordinate = part id, but grouping must
+        # see one merged scene (batch_idxs = 0)
         s = samples[0]
-        coords = s['coord4'].astype(np.int32)
-        spatial_shape = np.clip(coords[:, 1:].max(0) + 1,
-                                self.voxel_cfg.spatial_shape[0], None)
-        return dict(
-            scan_ids=[s['scan_id']],
-            coords=coords,
-            coords_float=s['coord_float'],
-            feats=s['feat'],
-            semantic_labels=s['semantic_label'],
-            instance_labels=s['instance_label'],
-            pt_offset_labels=s['pt_offset_label'],
-            instance_pointnum=s['inst_pointnum'],
-            instance_cls=s['inst_cls'],
-            spatial_shape=spatial_shape,
-            batch_size=4,
-            x4_split=True,
-        )
+        batch['coords'][:, 0] = s['part']
+        batch['grouping_batch_idxs'] = np.zeros(len(s['part']), np.int32)
+        batch['x4_split'] = True
+        return batch

@@ -12,9 +12,16 @@ import numpy as np
 
 
 def make_scene(rng: np.random.RandomState, n_points: int = 20000,
-               n_instances: int = 8, room: float = 6.0,
+               n_instances: int = 8, room: float | None = None,
                semantic_classes: int = 20, thing_start: int = 2):
-    """Returns (xyz, rgb, semantic_label, instance_label) float32/int32."""
+    """Returns (xyz, rgb, semantic_label, instance_label) float32/int32.
+
+    Default room size scales with n_points to keep ScanNet-like density
+    (~8000 points/m^2 -> ~3 points per 2 cm voxel), so voxel counts and
+    pyramid shrink factors behave like real scans.
+    """
+    if room is None:
+        room = max(float(np.sqrt(n_points / 8000.0)), 1.0)
     n_stuff = n_points // 3
     n_thing = n_points - n_stuff
 

@@ -28,10 +28,13 @@ def get_instances(scan_id: str, out: dict, n_points: int, cfg,
     entry_seg = np.asarray(out['entry_seg'])
     entry_valid = np.asarray(out['entry_valid'])
     n_props = int(out['n_proposals'])
-    semantic_pred = np.asarray(out['semantic_preds'])[:n_points]
     k = cls_scores.shape[1] - 1
 
     lvl_fusion = v2p_map is not None
+    # semantic_preds are always point-level (test_forward_plus gathers them
+    # through p2v already); sem2ins masks therefore never need expansion
+    n_real_points = len(v2p_map) if lvl_fusion else n_points
+    semantic_pred = np.asarray(out['semantic_preds'])[:n_real_points]
 
     # per-proposal CSR ranges (entries are sorted by proposal id)
     ev = entry_valid
@@ -47,8 +50,6 @@ def get_instances(scan_id: str, out: dict, n_points: int, cfg,
     for i in range(k):
         if i in cfg.sem2ins_classes:
             mask = (semantic_pred == i).astype(np.uint8)
-            if lvl_fusion:
-                mask = mask[v2p_map]
             instances.append(dict(scan_id=scan_id, label_id=i + 1, conf=1.0,
                                   pred_mask=rle_encode(mask)))
             continue

@@ -58,11 +58,12 @@ class Capacities(NamedTuple):
     parts"): every dynamic size in the reference becomes a capacity + mask."""
     points: int                 # P: padded point count
     voxels: tuple               # per-U-Net-level voxel caps
-    grouping_points: int        # per-class compaction cap in forward_grouping
+    grouping_points: int        # total soft-assignment entry cap (all classes)
     proposals: int              # Pmax (train: == train_cfg.max_proposal_num)
     proposal_entries: int       # S: CSR entry cap (sumNPoint analogue)
     instances: int              # I: gt instance cap
     inst_voxels: tuple          # tiny-U-Net level caps
+    grouping_cells: int = 65536  # contracted-cell cap inside cell_cluster
 
 
 class Proposals(NamedTuple):
@@ -83,6 +84,9 @@ class SoftGroupNet(nn.Module):
     instance_classes: int = 18
     semantic_only: bool = False
     fixed_modules: Sequence[str] = ()
+    bf16: bool = True  # bf16 conv compute (f32 accumulate) — the TPU analogue
+    # of the reference's AMP fp16 (`tools/train.py:47`, `util/fp16.py`); loss
+    # heads and statistics stay f32 like force_fp32
 
     def setup(self):
         ch = self.channels
@@ -111,6 +115,8 @@ class SoftGroupNet(nn.Module):
         (`forward_backbone`, softgroup.py:363-378)."""
         lv0 = pyramid.levels[0]
         x = voxel_features(feats, pyramid.p2v, lv0.vox_valid.shape[0])
+        if self.bf16:
+            x = x.astype(jnp.bfloat16)
         x = self.input_conv(x, lv0.subm_rules)
         x = self.unet(x, pyramid.levels, self._t('unet', train))
         x = self.output_norm(x, lv0.vox_valid,
@@ -119,9 +125,11 @@ class SoftGroupNet(nn.Module):
         output_feats = devoxelize(x, pyramid.p2v)
         pmask = pyramid.point_valid
         semantic_scores = self.semantic_linear(
-            output_feats, pmask, self._t('semantic_linear', train))
+            output_feats, pmask,
+            self._t('semantic_linear', train)).astype(jnp.float32)
         pt_offsets = self.offset_linear(
-            output_feats, pmask, self._t('offset_linear', train))
+            output_feats, pmask,
+            self._t('offset_linear', train)).astype(jnp.float32)
         return semantic_scores, pt_offsets, output_feats
 
     def backbone_voxel_heads(self, feats: jax.Array, pyramid: Pyramid,
@@ -130,15 +138,17 @@ class SoftGroupNet(nn.Module):
         (`softgroup.py:309-312,373-374`)."""
         lv0 = pyramid.levels[0]
         x = voxel_features(feats, pyramid.p2v, lv0.vox_valid.shape[0])
+        if self.bf16:
+            x = x.astype(jnp.bfloat16)
         x = self.input_conv(x, lv0.subm_rules)
         x = self.unet(x, pyramid.levels, self._t('unet', train))
         x = self.output_norm(x, lv0.vox_valid, self._t('output_layer', train))
         x = nn.relu(x)
         vmask = lv0.vox_valid
         semantic_scores = self.semantic_linear(
-            x, vmask, self._t('semantic_linear', train))
-        pt_offsets = self.offset_linear(x, vmask,
-                                        self._t('offset_linear', train))
+            x, vmask, self._t('semantic_linear', train)).astype(jnp.float32)
+        pt_offsets = self.offset_linear(
+            x, vmask, self._t('offset_linear', train)).astype(jnp.float32)
         return semantic_scores, pt_offsets, x
 
     def instance_head(self, inst_vox_feats: jax.Array,
@@ -148,6 +158,8 @@ class SoftGroupNet(nn.Module):
         """tiny U-Net + cls / mask / iou heads (`forward_instance`,
         softgroup.py:509-522)."""
         lv0 = inst_levels[0]
+        if self.bf16:
+            inst_vox_feats = inst_vox_feats.astype(jnp.bfloat16)
         x = self.tiny_unet(inst_vox_feats, inst_levels, train)
         x = self.tiny_output_norm(x, lv0.vox_valid, train)
         x = nn.relu(x)
@@ -160,9 +172,9 @@ class SoftGroupNet(nn.Module):
         vox_seg = jnp.where(lv0.vox_valid, lv0.vox_coords[:, 0],
                             n_proposal_cap)
         pooled = segment_mean(x, vox_seg, n_proposal_cap)
-        cls_scores = self.cls_linear(pooled)
-        iou_scores = self.iou_score_linear(pooled)
-        return cls_scores, iou_scores, mask_scores
+        cls_scores = self.cls_linear(pooled).astype(jnp.float32)
+        iou_scores = self.iou_score_linear(pooled).astype(jnp.float32)
+        return cls_scores, iou_scores, mask_scores.astype(jnp.float32)
 
     def __call__(self, feats, pyramid, train: bool = False):
         # used for parameter initialization of the backbone path
@@ -197,6 +209,44 @@ class SoftGroupNet(nn.Module):
                 batch.instance_labels, batch.instance_pointnum,
                 batch.instance_cls, batch.instance_valid, cfg))
         return parse_losses(losses)
+
+    def test_forward_plus(self, batch: SceneBatch, cfg, caps: Capacities):
+        """SoftGroup++ lvl_fusion inference (`softgroup.py:309-312,332-341`):
+        grouping and refinement run on the level-0 *voxels* (the voxel set is
+        pyramid level 1); host postprocessing maps masks back to points
+        through p2v."""
+        from ..ops.voxelize import voxel_features
+        lv0 = batch.pyramid.levels[0]
+        v0 = lv0.vox_valid.shape[0]
+        feats = batch.feats
+        if cfg.with_coords:
+            feats = jnp.concatenate([feats, batch.coords_float], axis=1)
+        sem_v, off_v, outf_v = self.backbone_voxel_heads(
+            feats, batch.pyramid, train=False)
+        p2v = batch.pyramid.p2v
+        sem_pt = sem_v[jnp.clip(p2v, 0, v0 - 1)]
+        out = dict(semantic_scores=sem_pt,
+                   pt_offsets=off_v[jnp.clip(p2v, 0, v0 - 1)],
+                   semantic_preds=jnp.argmax(sem_pt, axis=1))
+        if not self.semantic_only:
+            vox_cf = voxel_features(batch.coords_float, p2v, v0)
+            vox_batch = jnp.where(lv0.vox_valid, lv0.vox_coords[:, 0], 0)
+            props = forward_grouping(sem_v, off_v, vox_batch, vox_cf,
+                                     lv0.vox_valid, cfg, caps)
+            vox_feats, levels, entry_p2v = clusters_voxelization(
+                props, outf_v, vox_cf,
+                float(cfg.instance_voxel_cfg.scale),
+                int(cfg.instance_voxel_cfg.spatial_shape), caps)
+            cls_scores, iou_scores, mask_scores = self.instance_head(
+                vox_feats, levels, entry_p2v, props.entry_seg,
+                props.entry_valid, caps.proposals, train=False)
+            out.update(
+                cls_scores=jax.nn.softmax(cls_scores.astype(jnp.float32), -1),
+                iou_scores=iou_scores, mask_scores=mask_scores,
+                entry_pt=props.entry_pt, entry_seg=props.entry_seg,
+                entry_valid=props.entry_valid,
+                n_proposals=props.n_proposals)
+        return out
 
     def test_forward(self, batch: SceneBatch, cfg, caps: Capacities):
         """Device part of inference (`forward_test`, softgroup.py:299-361);
@@ -247,7 +297,7 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
     """
     p = semantic_scores.shape[0]
     n_cls = semantic_scores.shape[1]
-    n_c = caps.grouping_points
+    n_tot = caps.grouping_points  # total soft-assignment entries, all classes
     scores = jax.nn.softmax(semantic_scores.astype(jnp.float32), axis=-1)
 
     ignore = np.zeros((n_cls,), bool)
@@ -261,35 +311,54 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
     npoint_thr = float(cfg.grouping_cfg.npoint_thr)
     min_npoint = int(cfg.test_cfg.min_npoint)
 
-    def per_class(_, xs):
-        class_id, ignored, np_mean = xs
-        score_c = jnp.take_along_axis(
-            scores, jnp.full((p, 1), class_id, jnp.int32), axis=1)[:, 0]
-        active = (score_c > score_thr) & point_valid & ~ignored
-        count = active.sum()
-        enough = count >= min_npoint
-        idx = jnp.nonzero(active, size=n_c, fill_value=p)[0].astype(jnp.int32)
-        valid_c = (idx < p) & enough
-        ci = jnp.clip(idx, 0, p - 1)
-        shifted = coords_float[ci] + pt_offsets[ci]
-        labels = ball_cluster(shifted, batch_idxs[ci], valid_c, radius)
-        # component sizes + class-size threshold
-        seg = jnp.where(labels >= 0, labels, n_c)
-        sizes = segment_count(seg, n_c).astype(jnp.float32)
-        thr = jnp.where(np_mean == -1.0, npoint_thr, npoint_thr * np_mean)
-        keep = valid_c & (labels >= 0) & (sizes[jnp.clip(labels, 0, n_c - 1)]
-                                          >= thr)
-        return None, (idx, jnp.where(keep, labels, n_c), keep)
+    # soft assignment: a point joins every non-ignored class whose softmax
+    # score clears score_thr (:433-437); classes with too few active points
+    # are dropped entirely (:438-439)
+    active = (scores.T > score_thr) & point_valid[None, :] \
+        & ~ignore[:, None]                                 # (C, P)
+    counts = active.sum(axis=1)
+    active &= (counts >= min_npoint)[:, None]
 
-    xs = (jnp.arange(n_cls, dtype=jnp.int32), ignore, numpoint_mean)
-    _, (pt_idx, labels, keep) = jax.lax.scan(per_class, None, xs)
+    # SoftGroup++ scene pyramid (`get_level`, softgroup.py:482-489): coarsen
+    # the grouping radius/grid on big scenes.  The reference picks a level
+    # per class from its active count; fused grouping uses the largest
+    # class's count (big scenes have big classes — same level in practice).
+    radius_j = jnp.float32(radius)
+    if getattr_or(cfg.grouping_cfg, 'with_pyramid', False):
+        biggest = counts.max()
+        level = jnp.where(biggest > 1000000, 3.0,
+                          jnp.where(biggest > 100000, 2.0, 1.0))
+        radius_j = radius_j * level
 
-    # ---- merge classes into a global static CSR (:467-480) ----------------
+    # one fused compaction over (class, point) entries
+    idx = jnp.nonzero(active.reshape(-1), size=n_tot,
+                      fill_value=n_cls * p)[0].astype(jnp.int32)
+    valid_e = idx < n_cls * p
+    cls_e = jnp.where(valid_e, idx // p, 0)
+    pt_e = jnp.where(valid_e, idx % p, 0)
+    shifted = coords_float[pt_e] + pt_offsets[pt_e].astype(jnp.float32)
+    group = batch_idxs[pt_e] * n_cls + cls_e
+
+    # one clustering call for all classes (group key separates them);
+    # cell-contraction mode (SoftGroup++-style pyramid query) by default
+    from ..ops.grouping import cell_cluster
+    cell_scale = float(getattr_or(cfg.grouping_cfg, 'cell_scale', 0.5))
+    labels, _ = cell_cluster(shifted, group, valid_e, radius_j,
+                             cell_scale=cell_scale,
+                             m_cap=caps.grouping_cells)
+
+    # component sizes + class-size threshold (bfs_cluster.cpp:70-78)
+    seg = jnp.where(labels >= 0, labels, n_tot)
+    sizes = segment_count(seg, n_tot).astype(jnp.float32)
+    np_mean = numpoint_mean[cls_e]
+    thr = jnp.where(np_mean == -1.0, npoint_thr, npoint_thr * np_mean)
+    keep = valid_e & (labels >= 0) \
+        & (sizes[jnp.clip(labels, 0, n_tot - 1)] >= thr)
+
+    # ---- build the global static CSR (:467-480) ---------------------------
     s_cap = caps.proposal_entries
     p_max = caps.proposals
-    key = jnp.where(keep,
-                    jnp.arange(n_cls, dtype=jnp.int32)[:, None] * n_c + labels,
-                    jnp.iinfo(jnp.int32).max).reshape(-1)
+    key = jnp.where(keep, labels, jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(key)
     key_s = key[order]
     valid_s = key_s != jnp.iinfo(jnp.int32).max
@@ -298,7 +367,7 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
     pid = jnp.cumsum(firsts.astype(jnp.int32)) - 1
     n_proposals = jnp.minimum(jnp.maximum(pid[-1] + 1, 0), p_max)
 
-    entry_pt = pt_idx.reshape(-1)[order][:s_cap]
+    entry_pt = pt_e[order][:s_cap]
     pid = pid[:s_cap]
     entry_valid = valid_s[:s_cap] & (pid < p_max) & (pid >= 0)
     entry_seg = jnp.where(entry_valid, pid, p_max).astype(jnp.int32)
@@ -348,28 +417,33 @@ def clusters_voxelization(props: Proposals, feats: jax.Array,
     c4 = jnp.concatenate([seg[:, None].astype(jnp.int32), grid], axis=1)
 
     dims = jnp.full((3,), spatial_shape, jnp.int32)
-    vx = voxelize(c4, props.entry_valid, dims, caps.inst_voxels[0])
+    from ..ops.voxelize import voxelize_linear
+    vx, ckey = voxelize_linear(c4, props.entry_valid, dims,
+                               caps.inst_voxels[0])
     vox_feats = segment_mean(fe, vx.p2v, caps.inst_voxels[0])
-    levels = build_pyramid_from_voxels(vx, dims, caps.inst_voxels)
+    levels = build_pyramid_from_voxels(vx, ckey, dims, caps.inst_voxels)
     return vox_feats, levels, vx.p2v
 
 
-def build_pyramid_from_voxels(vx, dims, capacities):
-    """Two-level pyramid geometry for the tiny U-Net from an existing
-    device-side voxelization."""
-    from ..ops.rulebook import build_downsample, build_subm_rules
+def build_pyramid_from_voxels(vx, ckey, dims, capacities):
+    """Tiny-U-Net pyramid geometry from an existing device voxelization —
+    linear-key fast path (proposal grids always fit int32 keys)."""
+    from ..ops.rulebook import (build_downsample_linear,
+                                build_subm_rules_linear)
     levels = []
-    cur_coords, cur_valid, cur_dims = vx.vox_coords, vx.vox_valid, dims
+    cur_coords, cur_valid, cur_key, cur_dims = (vx.vox_coords, vx.vox_valid,
+                                                ckey, dims)
     for lvl in range(len(capacities)):
-        subm = build_subm_rules(cur_coords, cur_valid, cur_dims)
+        subm = build_subm_rules_linear(cur_key, cur_coords, cur_valid,
+                                       cur_dims)
         if lvl + 1 < len(capacities):
-            (nxt_coords, nxt_valid, _, down_rules, parent_idx,
-             child_tap) = build_downsample(cur_coords, cur_valid, cur_dims,
-                                           capacities[lvl + 1])
+            (nxt_coords, nxt_valid, _, down_rules, parent_idx, child_tap,
+             nxt_key, nxt_dims) = build_downsample_linear(
+                 cur_coords, cur_valid, cur_dims, capacities[lvl + 1])
             levels.append(LevelGeom(cur_coords, cur_valid, subm, down_rules,
                                     parent_idx, child_tap, cur_dims))
-            cur_coords, cur_valid = nxt_coords, nxt_valid
-            cur_dims = (cur_dims + 1) // 2
+            cur_coords, cur_valid, cur_key, cur_dims = (nxt_coords, nxt_valid,
+                                                        nxt_key, nxt_dims)
         else:
             levels.append(LevelGeom(cur_coords, cur_valid, subm, None, None,
                                     None, cur_dims))

@@ -6,19 +6,31 @@ bfs_cluster.cu:15-101`, `ops/functions.py:237-275`) followed by a *serial
 host* BFS over the adjacency (`bfs_cluster.cpp:33-126`, forced `.cpu()` sync
 at `softgroup/model/softgroup.py:458`) — with a single jittable routine:
 
-  1. bucket points into a uniform grid of cell size = radius (keys.py);
-  2. build a fixed-capacity per-point candidate list from the 27 neighbouring
-     cells (rank-window within the own cell, head-of-cell elsewhere), each
-     candidate distance-verified against the exact radius;
-  3. connected components by min-label propagation + pointer jumping
-     (O(log n) rounds, `lax.while_loop`), entirely on device.
+  1. bucket points into a uniform grid of cell size = radius, with the
+     group id (batch item x semantic class) folded into a *linear* int32
+     cell key: key = ((g*dx + cx)*dy + cy)*dz + cz.  Linearity makes every
+     neighbour-cell lookup `searchsorted(keys, key + constant_delta)` — one
+     argsort total, no hash joins (the reference needs a hash or O(n^2) scan
+     here; XLA sort + binary search is the TPU-shaped equivalent).
+  2. build a fixed-capacity per-point candidate list from the 27
+     neighbouring cells (rank-window within the own cell, head-of-cell
+     elsewhere), each candidate distance-verified against the exact radius;
+  3. connected components by min-label propagation over the (undirected)
+     candidate edges + pointer jumping (O(log n) rounds, `lax.while_loop`),
+     entirely on device.
 
-Differences vs the reference (by design): candidate lists are truncated at a
-static capacity instead of the reference's 1000-neighbour cap with
-nondeterministic atomicAdd ordering — our truncation is deterministic, and
-label propagation only needs *some* connecting path, not the full adjacency,
-so dense blobs (the common case after offset shifting) are insensitive to the
-cap.
+All semantic classes are clustered in ONE call (the group key separates
+them), amortising the sort — the reference loops classes with a device-host
+round trip per class (`softgroup.py:433-473`).
+
+Deterministic capacity truncation replaces the reference's 1000-neighbour
+cap with nondeterministic atomicAdd ordering; label propagation only needs
+*some* connecting path, so dense blobs (the common case after offset
+shifting) are insensitive to the cap.
+
+Range note: the linear key needs g_max * dx * dy * dz < 2^31.  With cell
+size = radius this holds for every reference workload (worst case S3DIS:
+~30 m / 0.04 -> 750^3 * 4 ~ 1.7e9); guarded by a debug-mode check upstream.
 """
 
 from __future__ import annotations
@@ -27,23 +39,137 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import keys as K
-
 # 26 non-center cell offsets (Chebyshev-1 neighbourhood)
-_CELL_OFFSETS = np.array(
+CELL_OFFSETS = np.array(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
      for dz in (-1, 0, 1) if (dx, dy, dz) != (0, 0, 0)], np.int32)
 
+_INT_MAX = jnp.iinfo(jnp.int32).max
 
-def ball_cluster(shifted: jax.Array, batch_idxs: jax.Array, valid: jax.Array,
+
+def _offsets(reach: int) -> np.ndarray:
+    r = range(-reach, reach + 1)
+    return np.array([[x, y, z] for x in r for y in r for z in r
+                     if (x, y, z) != (0, 0, 0)], np.int32)
+
+
+def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
+                 radius, cell_scale: float = 0.5, max_rounds: int = 96,
+                 m_cap: int | None = None):
+    """Connected components via grid-cell contraction — the production
+    grouping path.
+
+    This is the TPU formulation of SoftGroup++'s scene-pyramid grouping
+    (`pyramid_map`, softgroup.py:491-498: voxelize the shifted points, then
+    radius-query the voxel *centroids*): points are contracted to grid cells
+    of size = radius, cells connect to their 26 neighbours when the cell
+    centroids are within the radius, and components are found by min-label
+    propagation with pointer jumping.  Because cell adjacency is symmetric
+    by construction, every round is pure gathers — no scatters, no reverse
+    tables — and the only sort is the initial cell bucketing.
+
+    Returns (labels, cell_of): labels (N,) int32 cluster id per entry (-1
+    invalid) in *cell-index space* (unique per cluster), cell_of (N,) int32.
+    """
+    n = shifted.shape[0]
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    # cell size s = cell_scale * radius (default r/2, the reference pyramid's
+    # base_size=0.02 vs radius=0.04 ratio); any centroid pair within r then
+    # lies within Chebyshev distance ceil(1/cell_scale) cells.
+    s = radius * cell_scale
+    reach = int(np.ceil(1.0 / cell_scale))
+
+    mn = jnp.min(jnp.where(valid[:, None], shifted, jnp.inf), axis=0)
+    mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
+    cell = jnp.floor((shifted - mn[None, :]) / s).astype(jnp.int32)
+    cell = jnp.maximum(cell, 0)
+    dims = jnp.max(jnp.where(valid[:, None], cell, 0), axis=0) + 2
+    dy, dz = dims[1], dims[2]
+    key = (((group.astype(jnp.int32) * dims[0] + cell[:, 0]) * dy
+            + cell[:, 1]) * dz + cell[:, 2])
+    key = jnp.where(valid, key, _INT_MAX)
+
+    m = m_cap or n  # contracted-cell capacity (cells << entries in practice;
+    # overflow cells beyond the cap are dropped deterministically)
+
+    order = jnp.argsort(key)
+    key_s = key[order]
+    valid_s = key_s != _INT_MAX
+    prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
+    first = valid_s & (key_s != prev)
+    cid_s = jnp.cumsum(first.astype(jnp.int32)) - 1      # cell id, sorted
+    cid_s = jnp.where(valid_s & (cid_s < m), cid_s, m)
+    cell_of = jnp.zeros((n,), jnp.int32).at[order].set(cid_s)
+    cell_of = jnp.where(valid, cell_of, m)
+
+    # per-cell tables (capacity m, cells occupy a prefix; keys stay sorted)
+    dst = jnp.where(first, cid_s, m)
+    ckey = jnp.full((m + 1,), _INT_MAX, jnp.int32).at[dst].set(
+        jnp.where(first, key_s, _INT_MAX))[:m]
+    ccoord = jnp.zeros((m + 1, 3), jnp.int32).at[dst].set(
+        cell[order])[:m]
+    cell_valid = jnp.zeros((m + 1,), bool).at[dst].set(first)[:m]
+    # centroids of shifted coords per cell
+    csum = jnp.zeros((m + 1, 3), jnp.float32).at[cell_of].add(shifted)[:m]
+    ccount = jnp.zeros((m + 1,), jnp.float32).at[cell_of].add(1.0)[:m]
+    centroid = csum / jnp.maximum(ccount, 1.0)[:, None]
+
+    # neighbour candidate cells via linear-key binary search (ckey is sorted
+    # because cells were discovered in sorted-key order).  All offsets go
+    # through ONE batched searchsorted — separate calls each pay a full
+    # log(n)-step loop on TPU.
+    in_lo = ccoord
+    in_hi = dims[None, :] - 1 - ccoord  # slack to the upper bound
+    offs_np = _offsets(reach)
+    n_off = len(offs_np)
+    offs = jnp.asarray(offs_np)                          # (n_off, 3)
+    deltas = (offs[:, 0] * dy * dz + offs[:, 1] * dz + offs[:, 2])
+    ok = cell_valid[None, :] \
+        & (offs[:, :, None] + in_lo.T[None] >= 0).all(axis=1) \
+        & (offs[:, :, None] <= in_hi.T[None]).all(axis=1)
+    q = ckey[None, :] + deltas[:, None]                  # (n_off, m)
+    pos = jnp.searchsorted(ckey, q.reshape(-1), side='left', method='sort') \
+        .astype(jnp.int32).reshape(n_off, m)
+    pc = jnp.clip(pos, 0, m - 1)
+    hit = ok & (pos < m) & (ckey[pc] == q)
+    cand = jnp.where(hit, pc, -1).T                      # (m, n_off)
+    # centroid distance gate (the radius semantics of the pyramid query)
+    cc = jnp.clip(cand, 0, m - 1)
+    d2 = jnp.sum(jnp.square(centroid[:, None, :] - centroid[cc]), axis=-1)
+    cand = jnp.where((cand >= 0) & (d2 <= radius * radius), cand, -1)
+    cand_c = jnp.clip(cand, 0, m - 1)
+    cand_ok = cand >= 0
+
+    cidx = jnp.arange(m, dtype=jnp.int32)
+    init = jnp.where(cell_valid, cidx, m)
+
+    def body(state):
+        lab, _, r = state
+        cl = jnp.where(cand_ok, lab[cand_c], m)
+        new = jnp.minimum(lab, cl.min(axis=1))
+        for _ in range(2):
+            new = jnp.minimum(new, new[jnp.clip(new, 0, m - 1)])
+        return new, jnp.any(new != lab), r + 1
+
+    clab, _, _ = jax.lax.while_loop(
+        lambda st: st[1] & (st[2] < max_rounds), body,
+        (init, jnp.bool_(True), jnp.int32(0)))
+
+    in_range = valid & (cell_of < m)
+    labels = jnp.where(in_range, clab[jnp.clip(cell_of, 0, m - 1)], -1)
+    labels = jnp.where(labels >= m, -1, labels)
+    return labels, cell_of
+
+
+def ball_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
                  radius: float, neighbors_per_cell: int = 4,
                  own_window: int = 4, max_rounds: int = 64) -> jax.Array:
-    """Cluster points into connected components of the radius graph.
+    """Connected components of the radius graph, per group.
 
     Args:
       shifted: (N, 3) float32 — offset-shifted coordinates.
-      batch_idxs: (N,) int32 — points of different batch items never connect
-        (the reference's per-batch ball query, `bfs_cluster.cu:23-30`).
+      group: (N,) int32 — points of different groups never connect (batch
+        item, or batch*n_classes+class for fused class-wise grouping).
       valid: (N,) bool.
       radius: connection radius (`grouping_cfg.radius`).
     Returns:
@@ -51,102 +177,119 @@ def ball_cluster(shifted: jax.Array, batch_idxs: jax.Array, valid: jax.Array,
       component) per point; -1 for invalid points.
     """
     n = shifted.shape[0]
-    s = radius  # cell size == radius: any pair within r lies in adjacent cells
+    idxs = jnp.arange(n, dtype=jnp.int32)
+
     mn = jnp.min(jnp.where(valid[:, None], shifted, jnp.inf), axis=0)
     mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
-    cell = jnp.floor((shifted - mn[None, :]) / s).astype(jnp.int32)
+    cell = jnp.floor((shifted - mn[None, :]) / radius).astype(jnp.int32)
     cell = jnp.maximum(cell, 0)
-    cell4 = jnp.concatenate([batch_idxs[:, None].astype(jnp.int32), cell], 1)
     dims = jnp.max(jnp.where(valid[:, None], cell, 0), axis=0) + 2
+    dx, dy, dz = dims[0], dims[1], dims[2]
+    key = (((group.astype(jnp.int32) * dx + cell[:, 0]) * dy + cell[:, 1])
+           * dz + cell[:, 2])
+    key = jnp.where(valid, key, _INT_MAX)
 
-    hi, lo = K.pack_coords(cell4, dims)
-    hi, lo = K.mask_keys(hi, lo, valid)
-    order = K.lexsort_keys(hi, lo)              # sorted position -> point
-    hi_s, lo_s = hi[order], lo[order]
-    valid_s = hi_s != K.INVALID_KEY
-    first = K.first_occurrence_mask(hi_s, lo_s, valid_s)
-    pos_in_sorted = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32))         # point -> sorted position
+    order = jnp.argsort(key)                 # sorted position -> point
+    key_s = key[order]
+    pos_in_sorted = jnp.zeros((n,), jnp.int32).at[order].set(idxs)
 
-    # run-start position per sorted entry (for within-cell ranks)
-    idxs = jnp.arange(n, dtype=jnp.int32)
-    run_start_s = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, idxs, -1))
-    run_start_s = jnp.maximum(run_start_s, 0)
+    # run (cell) start per point via binary search on the sorted keys
+    my_start = jnp.searchsorted(key_s, key, side='left', method='sort').astype(jnp.int32)
 
-    # unique-cell table: start position and count per cell
-    cell_id_s = jnp.cumsum(first.astype(jnp.int32)) - 1       # per sorted entry
-    cell_id_s = jnp.where(valid_s, cell_id_s, n)
-    cell_start = jnp.zeros((n + 1,), jnp.int32).at[
-        jnp.where(first, cell_id_s, n)].set(idxs)[:n]
-    cell_count = jnp.zeros((n + 1,), jnp.int32).at[cell_id_s].add(1)[:n]
-    # cell key table (hi/lo of each unique cell), scattered from firsts
-    def _scatter_first(src):
-        return jnp.zeros((n + 1,), jnp.int32).at[
-            jnp.where(first, cell_id_s, n)].set(src)[:n]
-    tab_hi = _scatter_first(jnp.where(first, hi_s, 0))
-    tab_lo = _scatter_first(jnp.where(first, lo_s, 0))
-    tab_valid = jnp.zeros((n + 1,), bool).at[
-        jnp.where(first, cell_id_s, n)].set(first)[:n]
-
-    # --- candidate list -----------------------------------------------------
+    # --- candidate list ----------------------------------------------------
     cands = []
     # (a) own-cell rank window: previous own_window points in sorted order,
     # clipped at the cell run start (densest links in collapsed blobs).
-    my_pos = pos_in_sorted
-    my_start = run_start_s[jnp.clip(my_pos, 0, n - 1)]
     for w in range(1, own_window + 1):
-        p = my_pos - w
-        ok = p >= my_start
+        p = pos_in_sorted - w
+        ok = valid & (p >= my_start)
         cands.append(jnp.where(ok, order[jnp.clip(p, 0, n - 1)], -1))
-    # (b) neighbour cells: first `neighbors_per_cell` points of each of the
-    # 26 adjacent cells, resolved with one batched hash-join.
-    offs = jnp.asarray(_CELL_OFFSETS)
-    q = cell4[None, :, :].repeat(26, axis=0)
-    q = q.at[:, :, 1:].add(offs[:, None, :]).reshape(-1, 4)
-    q_hi, q_lo = K.pack_coords(q, dims)
-    q_valid = jnp.repeat(valid[None, :], 26, axis=0).reshape(-1) \
-        & (q[:, 1:] >= 0).all(axis=1)
-    q_hi, q_lo = K.mask_keys(q_hi, q_lo, q_valid)
-    ncell = K.lookup(q_hi, q_lo, tab_hi, tab_lo, tab_valid).reshape(26, n)
+    # (b) neighbour cells: first `neighbors_per_cell` entries of each of the
+    # 26 adjacent cells; one batched searchsorted resolves all offsets.
+    in_lo = cell > 0
+    in_hi = (cell + 1) < dims[None, :]
+    offs = jnp.asarray(CELL_OFFSETS)
+    deltas = offs[:, 0] * dy * dz + offs[:, 1] * dz + offs[:, 2]
+    ok_axis = valid[None, :] \
+        & jnp.where(offs[:, :, None] < 0, in_lo.T[None], True).all(axis=1) \
+        & jnp.where(offs[:, :, None] > 0, in_hi.T[None], True).all(axis=1)
+    qkey = key[None, :] + deltas[:, None]                    # (26, N)
+    start = jnp.searchsorted(key_s, qkey.reshape(-1), side='left', method='sort') \
+        .astype(jnp.int32).reshape(26, n)
     for j in range(neighbors_per_cell):
-        c = jnp.clip(ncell, 0, n - 1)
-        p = cell_start[c] + j
-        ok = (ncell >= 0) & (j < cell_count[c])
-        cands.append(jnp.where(ok, order[jnp.clip(p, 0, n - 1)], -1)
-                     .reshape(26 * n))
-    own = jnp.stack(cands[:own_window], 0)                  # (W, N)
-    nb = jnp.stack(cands[own_window:], 0).reshape(-1, n)    # (26*J, N)
-    cand = jnp.concatenate([own, nb], 0).T                  # (N, C)
+        p = start + j
+        pc = jnp.clip(p, 0, n - 1)
+        ok = ok_axis & (p < n) & (key_s[pc] == qkey)
+        cands.append(jnp.where(ok, order[pc], -1).reshape(-1))
+    own = jnp.stack(cands[:own_window], axis=1)              # (N, W)
+    nb = jnp.stack(cands[own_window:], 0).reshape(-1, n)     # (26*J, N)
+    cand = jnp.concatenate([own, nb.T], axis=1)              # (N, W + 26*J)
 
-    # distance check (exact radius) + validity
+    # exact distance check
     ci = jnp.clip(cand, 0, n - 1)
     d2 = jnp.sum(jnp.square(shifted[:, None, :] - shifted[ci]), axis=-1)
     ok = (cand >= 0) & valid[:, None] & valid[ci] & (d2 <= radius * radius)
     cand = jnp.where(ok, cand, -1)
+    c_width = cand.shape[1]
 
-    # --- min-label propagation + pointer jumping ---------------------------
+    # Candidate lists are asymmetric; undirected connectivity needs reverse
+    # edges.  TPU scatters are slow, so instead of a scatter-min per round we
+    # materialise a reverse-adjacency table ONCE with one sort (edges sorted
+    # by (dst, src); each node keeps its smallest-index in-sources, which are
+    # exactly the likely label minima), then every propagation round is pure
+    # gathers.  A scatter verification round runs only at convergence to
+    # catch reverse-truncation stragglers.
+    src_flat = jnp.broadcast_to(idxs[:, None], cand.shape).reshape(-1)
+    dst_flat = cand.reshape(-1)
+    ekey = jnp.where(dst_flat >= 0, dst_flat, n)
+    eorder = jnp.argsort(ekey, stable=True)  # ties keep ascending src
+    dst_sorted = ekey[eorder]
+    src_sorted = src_flat[eorder]
+    rstart = jnp.searchsorted(dst_sorted, idxs, method='sort').astype(jnp.int32)
+    rev_cols = []
+    e = n * c_width
+    for j in range(c_width):
+        p = rstart + j
+        pc = jnp.clip(p, 0, e - 1)
+        hit = (p < e) & (dst_sorted[pc] == idxs)
+        rev_cols.append(jnp.where(hit, src_sorted[pc], -1))
+    rev = jnp.stack(rev_cols, axis=1)
+    adj = jnp.concatenate([cand, rev], axis=1)
+    adj_c = jnp.clip(adj, 0, n - 1)
+    adj_ok = adj >= 0
+
     init = jnp.where(valid, idxs, n)
 
-    def body(state):
-        lab, _, rounds = state
-        # forward: take the min label over my candidates
-        cl = jnp.where(cand >= 0, lab[jnp.clip(cand, 0, n - 1)], n)
+    def pull_round(lab):
+        cl = jnp.where(adj_ok, lab[adj_c], n)
         new = jnp.minimum(lab, cl.min(axis=1))
-        # reverse: push my label onto my candidates (edges are undirected;
-        # candidate lists are asymmetric, so a scatter-min closes the loop)
-        dst = jnp.where(cand >= 0, cand, n)
-        src = jnp.broadcast_to(new[:, None], cand.shape)
-        new = jnp.concatenate([new, jnp.full((1,), n, new.dtype)]) \
-            .at[dst].min(src)[:n]
-        # pointer jumping: follow representatives (labels are point indices)
-        for _ in range(2):
+        for _ in range(2):  # pointer jumping through representatives
             new = jnp.minimum(new, new[jnp.clip(new, 0, n - 1)])
-        return new, jnp.any(new != lab), rounds + 1
+        return new
 
-    def cond(state):
+    def inner_cond(state):
         return state[1] & (state[2] < max_rounds)
 
+    def inner_body(state):
+        lab, _, r = state
+        new = pull_round(lab)
+        return new, jnp.any(new != lab), r + 1
+
+    def outer_body(state):
+        lab, _, o = state
+        lab, _, _ = jax.lax.while_loop(
+            inner_cond, inner_body, (lab, jnp.bool_(True), jnp.int32(0)))
+        # verification: one full undirected round via scatter-min
+        dst = jnp.where(cand >= 0, cand, n)
+        src = jnp.broadcast_to(lab[:, None], cand.shape)
+        pushed = jnp.concatenate([lab, jnp.full((1,), n, lab.dtype)]) \
+            .at[dst].min(src)[:n]
+        new = pull_round(jnp.minimum(lab, pushed))
+        return new, jnp.any(new != lab), o + 1
+
+    def outer_cond(state):
+        return state[1] & (state[2] < 4)
+
     labels, _, _ = jax.lax.while_loop(
-        cond, body, (init, jnp.bool_(True), jnp.int32(0)))
+        outer_cond, outer_body, (init, jnp.bool_(True), jnp.int32(0)))
     return jnp.where(valid, labels, -1)

@@ -102,6 +102,62 @@ def build_downsample(vox_coords: jax.Array, vox_valid: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Linear-key fast path (device): for grids with b*dx*dy*dz < 2^31 (the
+# proposal grids of clusters_voxelization) — one batched sorted-searchsorted
+# per rulebook instead of pair-key hash joins.
+# ---------------------------------------------------------------------------
+
+def build_subm_rules_linear(ckey: jax.Array, vox_coords: jax.Array,
+                            vox_valid: jax.Array, dims: jax.Array) -> jax.Array:
+    """(27, V) rulebook from a sorted linear key table (see voxelize_linear)."""
+    v = ckey.shape[0]
+    dyz = dims[1] * dims[2]
+    offs = jnp.asarray(SUBM_OFFSETS)                     # (27, 3)
+    deltas = offs[:, 0] * dyz + offs[:, 1] * dims[2] + offs[:, 2]
+    xyz = vox_coords[:, 1:]
+    in_lo = xyz
+    in_hi = dims[None, :] - 1 - xyz
+    ok = vox_valid[None, :] \
+        & (offs[:, :, None] + in_lo.T[None] >= 0).all(axis=1) \
+        & (offs[:, :, None] <= in_hi.T[None]).all(axis=1)
+    q = ckey[None, :] + deltas[:, None]
+    pos = jnp.searchsorted(ckey, q.reshape(-1), side='left', method='sort') \
+        .astype(jnp.int32).reshape(27, v)
+    pc = jnp.clip(pos, 0, v - 1)
+    hit = ok & (pos < v) & (ckey[pc] == q)
+    rules = jnp.where(hit, pc, -1)
+    ident = jnp.where(vox_valid, jnp.arange(v, dtype=jnp.int32), -1)
+    return rules.at[CENTER_TAP].set(ident)
+
+
+def build_downsample_linear(vox_coords: jax.Array, vox_valid: jax.Array,
+                            dims: jax.Array, capacity: int):
+    """Linear-key version of build_downsample (same outputs + coarse ckey)."""
+    from .voxelize import voxelize_linear
+
+    v = vox_coords.shape[0]
+    parent_coords = jnp.concatenate(
+        [vox_coords[:, :1], jnp.floor_divide(vox_coords[:, 1:], 2)], axis=1)
+    coarse_dims = (dims + 1) // 2
+    vx, ckey = voxelize_linear(parent_coords, vox_valid, coarse_dims,
+                               capacity)
+    parent_idx = vx.p2v
+    xyz = vox_coords[:, 1:]
+    child_tap = ((xyz[:, 0] & 1) * 4 + (xyz[:, 1] & 1) * 2
+                 + (xyz[:, 2] & 1)).astype(jnp.int32)
+    flat = jnp.where(vox_valid,
+                     child_tap * (capacity + 1) + jnp.minimum(parent_idx,
+                                                              capacity),
+                     8 * (capacity + 1) - 1)
+    down_rules = jnp.full((8 * (capacity + 1),), -1, jnp.int32)
+    down_rules = down_rules.at[flat].set(
+        jnp.where(vox_valid, jnp.arange(v, dtype=jnp.int32), -1))
+    down_rules = down_rules.reshape(8, capacity + 1)[:, :capacity]
+    return (vx.vox_coords, vx.vox_valid, vx.n_voxels, down_rules, parent_idx,
+            child_tap, ckey, coarse_dims)
+
+
+# ---------------------------------------------------------------------------
 # Host (numpy) versions — exact shapes, used by the input pipeline so the TPU
 # step receives ready-made static geometry (the irregular work overlaps with
 # device compute, the TPU-native analogue of collate-time voxelization).

@@ -55,6 +55,42 @@ def voxelize(coords: jax.Array, valid: jax.Array, dims: jax.Array,
     return Voxelized(vox_coords.astype(jnp.int32), uniq_valid, p2v, n_unique)
 
 
+def voxelize_linear(coords: jax.Array, valid: jax.Array, dims: jax.Array,
+                    capacity: int):
+    """Fast device voxelization on single-int32 linear keys.
+
+    Requires b_max * dims[0] * dims[1] * dims[2] < 2^31 (always true for the
+    proposal grids of clusters_voxelization: <= 1024 proposals x 20^3 cells).
+    One argsort instead of the generic pair-key lexsort machinery.
+
+    Returns (Voxelized, sorted_unique_keys (capacity,) int32 INT_MAX-padded)
+    — the key table feeds linear-key rulebook builds directly.
+    """
+    imax = jnp.iinfo(jnp.int32).max
+    c = coords.astype(jnp.int32)
+    key = (((c[:, 0] * dims[0] + c[:, 1]) * dims[1] + c[:, 2]) * dims[2]
+           + c[:, 3])
+    key = jnp.where(valid, key, imax)
+    n = key.shape[0]
+    order = jnp.argsort(key)
+    key_s = key[order]
+    valid_s = key_s != imax
+    prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
+    first = valid_s & (key_s != prev)
+    uid_s = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_unique = jnp.maximum(uid_s[-1] + 1, 0)
+    uid_s = jnp.where(valid_s, jnp.minimum(uid_s, capacity - 1), capacity)
+    dst = jnp.where(first, uid_s, capacity)
+    vox_coords = jnp.zeros((capacity + 1, 4), jnp.int32).at[dst].set(
+        c[order])[:capacity]
+    ckey = jnp.full((capacity + 1,), imax, jnp.int32).at[dst].set(
+        jnp.where(first, key_s, imax))[:capacity]
+    uniq_valid = jnp.arange(capacity) < jnp.minimum(n_unique, capacity)
+    p2v = jnp.zeros((n,), jnp.int32).at[order].set(uid_s)
+    p2v = jnp.where(valid, p2v, capacity)
+    return Voxelized(vox_coords, uniq_valid, p2v, n_unique), ckey
+
+
 def voxel_features(point_feats: jax.Array, p2v: jax.Array, capacity: int) -> jax.Array:
     """Mean point features per voxel — `voxelization` in the reference
     (`softgroup/ops/functions.py:200-234`), differentiable."""

@@ -30,7 +30,7 @@ def test_caps(n_points: int, voxel_counts, base: Capacities) -> Capacities:
     return Capacities(
         points=round_capacity(n_points),
         voxels=tuple(round_capacity(v, minimum=256) for v in voxel_counts),
-        grouping_points=round_capacity(n_points, minimum=4096),
+        grouping_points=round_capacity(2 * n_points, minimum=8192),
         proposals=base.proposals,
         proposal_entries=min(round_capacity(6 * n_points, minimum=8192),
                              base.proposal_entries),
@@ -52,16 +52,18 @@ class InferenceRunner:
         self._jitted = {}
 
     def _fn(self, caps: Capacities):
-        if caps not in self._jitted:
+        lvl = bool(self.cfg.test_cfg.get('lvl_fusion', False))
+        key = (caps, lvl)
+        if key not in self._jitted:
             net, cfg = self.net, self.cfg
+            method = net.test_forward_plus if lvl else net.test_forward
 
             @jax.jit
             def fn(variables, batch):
-                return net.apply(variables, batch, cfg, caps,
-                                 method=net.test_forward)
+                return net.apply(variables, batch, cfg, caps, method=method)
 
-            self._jitted[caps] = fn
-        return self._jitted[caps]
+            self._jitted[key] = fn
+        return self._jitted[key]
 
     def build_batch(self, data: dict):
         """Host: voxelize + pyramid + pad for one collated test scene."""
@@ -82,7 +84,8 @@ class InferenceRunner:
             data['semantic_labels'], data['instance_labels'],
             data['pt_offset_labels'], data['instance_pointnum'],
             data['instance_cls'], data['spatial_shape'], caps,
-            self.num_levels, self.cfg.ignore_label)
+            self.num_levels, self.cfg.ignore_label,
+            batch_idxs=data.get('grouping_batch_idxs'))
         return batch, caps
 
     def run_scene(self, data: dict) -> dict:
@@ -106,7 +109,15 @@ class InferenceRunner:
                 offset_labels=data['pt_offset_labels'])
         if not self.net.semantic_only and (
                 'instance' in tasks or 'panoptic' in tasks):
-            pred_instances = get_instances(scan_id, out, n, self.cfg)
+            if self.cfg.test_cfg.get('lvl_fusion', False):
+                # masks live on voxels; expand through p2v on the host
+                p2v = np.asarray(batch.pyramid.p2v)[:n]
+                n_vox = int(np.asarray(
+                    batch.pyramid.levels[0].vox_valid).sum())
+                pred_instances = get_instances(scan_id, out, n_vox, self.cfg,
+                                               v2p_map=p2v)
+            else:
+                pred_instances = get_instances(scan_id, out, n, self.cfg)
             if 'instance' in tasks:
                 ret['pred_instances'] = pred_instances
                 ret['gt_instances'] = get_gt_instances(
@@ -123,8 +134,6 @@ def run_eval(net, variables, cfg, base_caps, num_levels, logger=None,
              class_labels=None, max_scenes: int | None = None) -> dict:
     """Full eval over cfg.data.test — returns a flat metric dict."""
     dataset = build_dataset(cfg.data.test, logger)
-    if getattr(dataset, 'x4_split', False):
-        raise NotImplementedError('x4_split eval lands with the S3DIS path')
     loader = build_dataloader(dataset, batch_size=1,
                               num_workers=cfg.dataloader.test.num_workers,
                               training=False)

@@ -95,3 +95,42 @@ class TestBallCluster:
             jnp.zeros((16, 3)), jnp.zeros((16,), jnp.int32),
             jnp.zeros((16,), bool), 0.04))
         assert (labels == -1).all()
+
+
+class TestCellCluster:
+    """cell_cluster (production path) — SoftGroup++-style centroid grouping;
+    exact on well-separated blobs."""
+
+    def run(self, pts, batch, radius, **kw):
+        import jax.numpy as jnp
+        from softgroup_tpu.ops.grouping import cell_cluster
+        n = len(pts)
+        labels, _ = cell_cluster(jnp.asarray(pts), jnp.asarray(batch),
+                                 jnp.ones(n, bool), radius, **kw)
+        return np.asarray(labels)
+
+    def test_blobs_separate_and_merge(self, rng):
+        centers = np.array([[0, 0, 0], [1.0, 0, 0], [0, 1.0, 0]])
+        pts = np.concatenate(
+            [c + rng.randn(50, 3) * 0.01 for c in centers]).astype(np.float32)
+        batch = np.zeros(len(pts), np.int32)
+        got = self.run(pts, batch, 0.05)
+        parts = canon(got)
+        assert len(parts) == 3
+        for i in range(3):
+            assert frozenset(range(i * 50, (i + 1) * 50)) in parts
+
+    def test_batch_separation(self, rng):
+        pts = np.tile((rng.rand(30, 3) * 0.02).astype(np.float32), (2, 1))
+        batch = np.repeat([0, 1], 30).astype(np.int32)
+        got = self.run(pts, batch, 0.1)
+        assert len(canon(got)) == 2
+        assert {got[i] for i in range(30)}.isdisjoint(
+            {got[i] for i in range(30, 60)})
+
+    def test_chain_merges(self):
+        m = 60
+        pts = np.zeros((m, 3), np.float32)
+        pts[:, 0] = np.arange(m) * 0.03  # consecutive cells connect
+        got = self.run(pts, np.zeros(m, np.int32), 0.04)
+        assert len(canon(got)) == 1

@@ -22,7 +22,8 @@ CFG = Config(dict(
     ignore_label=-100,
     with_coords=True,
     grouping_cfg=dict(
-        score_thr=0.2,
+        score_thr=0.1,  # below uniform softmax (1/6) so an untrained net
+                        # still yields proposals to exercise the full path
         radius=0.3,
         mean_active=300,
         class_numpoint_mean=[-1.0] * 6,
@@ -36,7 +37,7 @@ CFG = Config(dict(
 ))
 
 CAPS = Capacities(points=4096, voxels=(2048, 1024, 512),
-                  grouping_points=2048, proposals=32, proposal_entries=4096,
+                  grouping_points=8192, proposals=32, proposal_entries=8192,
                   instances=32, inst_voxels=(2048, 512))
 
 

@@ -79,6 +79,7 @@ def build_net(cfg) -> SoftGroupNet:
         semantic_classes=cfg.model.semantic_classes,
         instance_classes=cfg.model.instance_classes,
         semantic_only=cfg.model.semantic_only,
+        bf16=bool(cfg.get('tpu', {}).get('bf16', True)),
         fixed_modules=tuple(cfg.model.get('fixed_modules', [])))
 
 
