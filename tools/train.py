@@ -59,7 +59,8 @@ def caps_from_cfg(cfg) -> Capacities:
                       proposals=c.proposals,
                       proposal_entries=c.proposal_entries,
                       instances=c.instances,
-                      inst_voxels=tuple(c.inst_voxels))
+                      inst_voxels=tuple(c.inst_voxels),
+                      grouping_cells=c.get('grouping_cells', 65536))
 
 
 def make_post(caps, num_levels, ignore_label):
