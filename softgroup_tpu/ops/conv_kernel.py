@@ -88,8 +88,9 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
 
     def start_dmas(slot_i, blk_i):
         for g in range(n_groups):
+            start = pl.multiple_of(ws_ref[blk_i, g] * 16, 16)
             pltpu.make_async_copy(
-                feats_ref.at[pl.ds(ws_ref[blk_i, g] * 16, w)],
+                feats_ref.at[pl.ds(start, w)],
                 win.at[slot_i, g],
                 sems.at[slot_i, g],
             ).start()
@@ -103,13 +104,15 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
         start_dmas(nxt, blk + 1)
 
     for g in range(n_groups):
-        pltpu.make_async_copy(feats_ref.at[pl.ds(ws_ref[blk, g], w)],
+        start = pl.multiple_of(ws_ref[blk, g] * 16, 16)
+        pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
                               win.at[slot, g], sems.at[slot, g]).wait()
 
     cd = jnp.bfloat16
     for g in range(n_groups):
         u[g] = jax.lax.dot(
             win[slot, g].astype(cd), wstack_ref[g].astype(cd),
+            precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32).astype(cd)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
@@ -118,6 +121,7 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
         g, p = t // tpg, t % tpg
         oh = (rules_ref[t][:, None] == iota).astype(cd)
         acc += jax.lax.dot(oh, u[g, :, p * cout:(p + 1) * cout],
+                           precision=jax.lax.Precision.DEFAULT,
                            preferred_element_type=jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
 
@@ -149,6 +153,15 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
     nb = v_out // b
     gmap = np.asarray(group_of_tap, np.int32)
 
+    # manual HBM->VMEM window DMA requires full 128-lane tiles: pad Cin (the
+    # physical HBM layout is lane-padded anyway, and the extra K rows in the
+    # transform matmul are zero — same MXU pass count)
+    if cin % 128:
+        pad = 128 - cin % 128
+        feats = jnp.pad(feats, ((0, 0), (0, pad)))
+        wstack = jnp.pad(wstack, ((0, 0), (0, pad), (0, 0)))
+        cin = cin + pad
+
     local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -157,7 +170,7 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
         in_specs=[
             pl.BlockSpec((k, b), lambda i, ws: (0, i)),      # local rules
             pl.BlockSpec(wstack.shape, lambda i, ws: (0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),            # feats (HBM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # feats
         ],
         out_specs=pl.BlockSpec((b, cout), lambda i, ws: (i, 0)),
         scratch_shapes=[

@@ -62,20 +62,26 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     This is the TPU formulation of SoftGroup++'s scene-pyramid grouping
     (`pyramid_map`, softgroup.py:491-498: voxelize the shifted points, then
     radius-query the voxel *centroids*): points are contracted to grid cells
-    of size = radius, cells connect to their 26 neighbours when the cell
-    centroids are within the radius, and components are found by min-label
-    propagation with pointer jumping.  Because cell adjacency is symmetric
-    by construction, every round is pure gathers — no scatters, no reverse
-    tables — and the only sort is the initial cell bucketing.
+    of size = cell_scale * radius, cells connect to neighbours within reach
+    ceil(1/cell_scale) when the cell centroids are within the radius, and
+    components are found by min-label propagation with pointer jumping.
 
-    Returns (labels, cell_of): labels (N,) int32 cluster id per entry (-1
-    invalid) in *cell-index space* (unique per cluster), cell_of (N,) int32.
+    TPU cost shape (scatters and 1-D gathers are ~10 ns/elem on TPU, so the
+    build avoids them): ONE multi-operand sort carries entry payloads with
+    the keys, per-cell tables come from top_k prefix compaction + cumsum
+    diffs over the sorted order, all neighbour offsets resolve through ONE
+    batched searchsorted, and the propagation rounds are pure gathers over a
+    (cells, n_off) table — costs scale with the cell cap m, not with N.
+
+    cell_scale: 1.0 = 26 neighbour offsets (production default via config —
+    matches the reference pyramid's centroid query at base_size = radius);
+    0.5 = 124 offsets, finer contraction (the r/2 pyramid ratio).
+
+    Returns (labels, cell_of, cell_count): labels (N,) int32 cluster id per
+    entry (-1 invalid) in *cell-index space*, cell_of (N,) int32 entry->cell,
+    cell_count (m,) float32 entries per cell.
     """
     n = shifted.shape[0]
-    idxs = jnp.arange(n, dtype=jnp.int32)
-    # cell size s = cell_scale * radius (default r/2, the reference pyramid's
-    # base_size=0.02 vs radius=0.04 ratio); any centroid pair within r then
-    # lies within Chebyshev distance ceil(1/cell_scale) cells.
     s = radius * cell_scale
     reach = int(np.ceil(1.0 / cell_scale))
 
@@ -92,27 +98,43 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     m = m_cap or n  # contracted-cell capacity (cells << entries in practice;
     # overflow cells beyond the cap are dropped deterministically)
 
-    order = jnp.argsort(key)
-    key_s = key[order]
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    # one sort carries the entry index and coords with the key
+    key_s, order, xs, ys, zs = jax.lax.sort(
+        (key, idxs, shifted[:, 0], shifted[:, 1], shifted[:, 2]),
+        num_keys=1)
     valid_s = key_s != _INT_MAX
     prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
     first = valid_s & (key_s != prev)
     cid_s = jnp.cumsum(first.astype(jnp.int32)) - 1      # cell id, sorted
+    n_cells = jnp.maximum(cid_s[-1] + 1, 0)
+    n_valid = valid_s.sum()
     cid_s = jnp.where(valid_s & (cid_s < m), cid_s, m)
     cell_of = jnp.zeros((n,), jnp.int32).at[order].set(cid_s)
     cell_of = jnp.where(valid, cell_of, m)
 
-    # per-cell tables (capacity m, cells occupy a prefix; keys stay sorted)
-    dst = jnp.where(first, cid_s, m)
-    ckey = jnp.full((m + 1,), _INT_MAX, jnp.int32).at[dst].set(
-        jnp.where(first, key_s, _INT_MAX))[:m]
-    ccoord = jnp.zeros((m + 1, 3), jnp.int32).at[dst].set(
-        cell[order])[:m]
-    cell_valid = jnp.zeros((m + 1,), bool).at[dst].set(first)[:m]
-    # centroids of shifted coords per cell
-    csum = jnp.zeros((m + 1, 3), jnp.float32).at[cell_of].add(shifted)[:m]
-    ccount = jnp.zeros((m + 1,), jnp.float32).at[cell_of].add(1.0)[:m]
-    centroid = csum / jnp.maximum(ccount, 1.0)[:, None]
+    # per-cell tables from the sorted prefix: first/last entry positions via
+    # top_k compaction (no scatters)
+    k_top = min(m, n)
+    fp = -jax.lax.top_k(jnp.where(first, -idxs, -_INT_MAX), k_top)[0]
+    if k_top < m:
+        fp = jnp.concatenate(
+            [fp, jnp.full((m - k_top,), _INT_MAX, jnp.int32)])
+    cell_valid = (fp < n) & (jnp.arange(m) < jnp.minimum(n_cells, m))
+    fpc = jnp.minimum(fp, n - 1)
+    ckey = jnp.where(cell_valid, key_s[fpc], _INT_MAX)
+    lp = jnp.concatenate([fpc[1:], jnp.full((1,), 0, jnp.int32)])
+    lp = jnp.where(jnp.arange(m) == jnp.minimum(n_cells, m) - 1,
+                   n_valid, jnp.where(cell_valid, lp, 1)) - 1
+    lpc = jnp.clip(lp, 0, n - 1)
+    cnt = jnp.where(cell_valid, lp - fpc + 1, 0).astype(jnp.float32)
+    # centroids via cumsum-diff over the sorted coords
+    cums = jnp.cumsum(jnp.stack([xs, ys, zs], axis=1), axis=0)
+    seg_sum = cums[lpc] - jnp.where((fpc > 0)[:, None], cums[fpc - 1], 0.0)
+    centroid = seg_sum / jnp.maximum(cnt, 1.0)[:, None]
+    ccoord = jnp.floor(
+        (jnp.stack([xs, ys, zs], 1)[fpc] - mn[None, :]) / s).astype(jnp.int32)
+    ccoord = jnp.maximum(ccoord, 0)
 
     # neighbour candidate cells via linear-key binary search (ckey is sorted
     # because cells were discovered in sorted-key order).  All offsets go
@@ -127,7 +149,7 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     ok = cell_valid[None, :] \
         & (offs[:, :, None] + in_lo.T[None] >= 0).all(axis=1) \
         & (offs[:, :, None] <= in_hi.T[None]).all(axis=1)
-    q = ckey[None, :] + deltas[:, None]                  # (n_off, m)
+    q = jnp.where(ok, ckey[None, :] + deltas[:, None], _INT_MAX)
     pos = jnp.searchsorted(ckey, q.reshape(-1), side='left', method='sort') \
         .astype(jnp.int32).reshape(n_off, m)
     pc = jnp.clip(pos, 0, m - 1)
@@ -147,7 +169,7 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
         lab, _, r = state
         cl = jnp.where(cand_ok, lab[cand_c], m)
         new = jnp.minimum(lab, cl.min(axis=1))
-        for _ in range(2):
+        for _ in range(4):  # pointer jumping: cheap (m,) gathers
             new = jnp.minimum(new, new[jnp.clip(new, 0, m - 1)])
         return new, jnp.any(new != lab), r + 1
 
@@ -158,7 +180,7 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     in_range = valid & (cell_of < m)
     labels = jnp.where(in_range, clab[jnp.clip(cell_of, 0, m - 1)], -1)
     labels = jnp.where(labels >= m, -1, labels)
-    return labels, cell_of
+    return labels, cell_of, clab, cnt
 
 
 def ball_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,

@@ -24,6 +24,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Pallas windowed-gather kernel dispatch (see conv_kernel.py): wins for the
+# wide shallow levels where XLA's row gather moves a mostly-empty (16, 128)
+# tile per 32/64-channel row; XLA stays for deep levels (C >= 96, rows fill
+# tiles) and for shapes the kernel can't take.
+_KERNEL_MAX_CHANNELS = 64
+_KERNEL_B = 128
+_KERNEL_W = 384
+
+
+def _kernel_ok(v_out: int, v_in: int, cout: int) -> bool:
+    return (jax.default_backend() == 'tpu'
+            and cout <= _KERNEL_MAX_CHANNELS
+            and v_out % _KERNEL_B == 0
+            and v_in >= _KERNEL_W)
+
 
 def _gather_padded(feats: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather rows of ``feats`` with -1 mapping to a zero row."""
@@ -45,6 +60,17 @@ def subm_conv(feats: jax.Array, weight: jax.Array, rules: jax.Array,
     cd = compute_dtype or feats.dtype
     v_out = rules.shape[1]
     c_out = weight.shape[2]
+    if _kernel_ok(v_out, feats.shape[0], c_out) \
+            and rules.shape[0] in (27, 8):
+        return _conv_windowed_vjp(feats.astype(cd), weight,
+                                  rules).astype(feats.dtype)
+    return _conv_xla(feats, weight, rules, cd)
+
+
+def _conv_xla(feats, weight, rules, cd):
+    """Portable gather-GEMM path (and the autodiff implementation)."""
+    v_out = rules.shape[1]
+    c_out = weight.shape[2]
 
     def tap(acc, kw):
         w_k, r_k = kw
@@ -56,6 +82,46 @@ def subm_conv(feats: jax.Array, weight: jax.Array, rules: jax.Array,
     init = jnp.zeros((v_out, c_out), jnp.float32)
     out, _ = jax.lax.scan(tap, init, (weight, rules))
     return out.astype(feats.dtype)
+
+
+@jax.custom_vjp
+def _conv_windowed_vjp(feats, weight, rules):
+    """Pallas windowed kernel forward with a differentiable backward.
+
+    Backward: grad wrt feats reuses the kernel for 27-tap submanifold convs
+    (offset symmetry: the transpose of tap k is tap K-1-k on the same
+    rulebook, valid because subm in/out voxel sets coincide); everything
+    else falls back to the XLA path's VJP.
+    """
+    from .conv_kernel import down_conv_windowed, subm_conv_windowed
+    if rules.shape[0] == 27:
+        return subm_conv_windowed(feats, weight, rules, _KERNEL_B, _KERNEL_W)
+    return down_conv_windowed(feats, weight, rules, _KERNEL_B, _KERNEL_W)
+
+
+def _conv_windowed_fwd(feats, weight, rules):
+    return _conv_windowed_vjp(feats, weight, rules), (feats, weight, rules)
+
+
+def _conv_windowed_bwd(res, g):
+    feats, weight, rules = res
+    k = weight.shape[0]
+    subm = k == 27 and feats.shape[0] == rules.shape[1]
+    if subm and _kernel_ok(feats.shape[0], feats.shape[0], weight.shape[1]):
+        from .conv_kernel import subm_conv_windowed
+        w_t = jnp.flip(jnp.swapaxes(weight, 1, 2), axis=0)
+        g_feats = subm_conv_windowed(g.astype(feats.dtype), w_t, rules,
+                                     _KERNEL_B, _KERNEL_W)
+    else:
+        g_feats = jax.vjp(
+            lambda f: _conv_xla(f, weight, rules, feats.dtype), feats
+        )[1](g)[0]
+    g_weight = jax.vjp(
+        lambda w: _conv_xla(feats, w, rules, feats.dtype), weight)[1](g)[0]
+    return g_feats, g_weight, None
+
+
+_conv_windowed_vjp.defvjp(_conv_windowed_fwd, _conv_windowed_bwd)
 
 
 def down_conv(feats: jax.Array, weight: jax.Array, down_rules: jax.Array,

@@ -4,7 +4,10 @@ mesh path via __graft_entry__.dryrun_multichip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU (the session env may point JAX at a tunnelled TPU): sharding
+# tests need the 8-virtual-device CPU mesh, and op tests must be
+# deterministic f32 oracles
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The session's TPU plugin registers itself eagerly at interpreter start
+# (sitecustomize), so JAX_PLATFORMS alone cannot demote it — force the
+# default platform explicitly.
+jax.config.update("jax_platform_name", "cpu")
 
 # Exact f32 matmuls for golden tests (JAX's default truncates to bf16-style
 # precision even on CPU; production uses the bf16 policy deliberately).

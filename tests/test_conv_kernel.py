@@ -1,0 +1,88 @@
+"""Windowed gather-GEMM conv kernel (ops/conv_kernel.py) vs the XLA oracle.
+
+Runs the Pallas kernel in interpreter mode (tests are CPU); on TPU the same
+code path is exercised by the sparse_conv dispatch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softgroup_tpu.ops.conv_kernel import (down_conv_windowed,
+                                           inverse_conv_windowed,
+                                           subm_conv_windowed, window_rules,
+                                           _SUBM_GROUPS)
+from softgroup_tpu.ops.rulebook import (build_downsample_np,
+                                        build_subm_rules_np)
+from softgroup_tpu.ops.sparse_conv import (down_conv, inverse_conv,
+                                           subm_conv)
+from softgroup_tpu.ops.voxelize import voxelize_np
+
+
+def _scene(rng, n=3000, extent=24):
+    coords = np.concatenate(
+        [np.zeros((n, 1), np.int32),
+         rng.randint(0, extent, (n, 3)).astype(np.int32)], axis=1)
+    vox, _, _ = voxelize_np(coords)
+    return vox
+
+
+class TestWindowedConv:
+
+    def test_subm_matches_oracle(self, rng):
+        vox = _scene(rng)
+        dims = vox[:, 1:].max(0) + 1
+        rules_np = build_subm_rules_np(vox, dims)
+        v = len(vox)
+        cap = ((v + 127) // 128) * 128 + 128
+        rules = np.full((27, cap), -1, np.int32)
+        rules[:, :v] = rules_np
+        cin, cout = 16, 8
+        feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+        weight = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+        rules_j = jnp.asarray(rules)
+
+        _, _, n_over = window_rules(rules_j,
+                                    np.asarray(_SUBM_GROUPS, np.int32),
+                                    3, 512, 128, cap)
+        assert int(n_over) == 0
+
+        ref = np.asarray(subm_conv(feats, weight, rules_j))
+        out = np.asarray(subm_conv_windowed(
+            feats, weight, rules_j, block_b=128, window_w=512,
+            interpret=True))
+        # kernel computes in bf16 (f32 accumulate)
+        np.testing.assert_allclose(out, ref, rtol=0.03, atol=0.05)
+
+    def test_down_and_inverse_match_oracle(self, rng):
+        vox = _scene(rng)
+        coarse, down_rules_np, parent_idx_np, child_tap_np = \
+            build_downsample_np(vox)
+        c = len(coarse)
+        cap_f = ((len(vox) + 127) // 128) * 128 + 128
+        cap_c = ((c + 127) // 128) * 128 + 128
+        down_rules = np.full((8, cap_c), -1, np.int32)
+        down_rules[:, :c] = down_rules_np
+        parent = np.full((cap_f,), cap_c, np.int32)
+        parent[:len(vox)] = parent_idx_np
+        tap = np.zeros((cap_f,), np.int32)
+        tap[:len(vox)] = child_tap_np
+
+        cin, cout = 16, 8
+        feats_f = jnp.asarray(rng.randn(cap_f, cin), jnp.float32)
+        w_down = jnp.asarray(rng.randn(8, cin, cout) * 0.1, jnp.float32)
+        ref = np.asarray(down_conv(feats_f, w_down, jnp.asarray(down_rules)))
+        out = np.asarray(down_conv_windowed(
+            feats_f, w_down, jnp.asarray(down_rules), block_b=128,
+            window_w=512, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=0.03, atol=0.05)
+
+        feats_c = jnp.asarray(rng.randn(cap_c, cin), jnp.float32)
+        w_up = jnp.asarray(rng.randn(8, cin, cout) * 0.1, jnp.float32)
+        ref = np.asarray(inverse_conv(feats_c, w_up, jnp.asarray(parent),
+                                      jnp.asarray(tap)))
+        out = np.asarray(inverse_conv_windowed(
+            feats_c, w_up, jnp.asarray(parent), jnp.asarray(tap),
+            block_b=128, window_w=512, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=0.03, atol=0.05)

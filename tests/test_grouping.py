@@ -105,7 +105,7 @@ class TestCellCluster:
         import jax.numpy as jnp
         from softgroup_tpu.ops.grouping import cell_cluster
         n = len(pts)
-        labels, _ = cell_cluster(jnp.asarray(pts), jnp.asarray(batch),
+        labels, _, _, _ = cell_cluster(jnp.asarray(pts), jnp.asarray(batch),
                                  jnp.ones(n, bool), radius, **kw)
         return np.asarray(labels)
 

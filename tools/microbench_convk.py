@@ -72,5 +72,38 @@ def main():
               f'speedup {t_ref / t_ker:5.2f}x   max_rel_err {rel:.2e}')
 
 
-if __name__ == '__main__':
+if __name__ == "__main__" and len(sys.argv) == 1:
     main()
+
+def sweep():
+    rng = np.random.RandomState(0)
+    scenes = [make_scene(rng, n_points=250000, n_instances=12)]
+    data = collate_scenes(scenes, scale=50.0)
+    vox_coords, _, _ = voxelize_np(data['coords'])
+    for lvl, c in [(0, 32), (1, 64)]:
+        vc = vox_coords
+        for _ in range(lvl):
+            vc, _, _, _ = build_downsample_np(vc)
+        d = vc[:, 1:].max(0) + 1
+        rules_np = build_subm_rules_np(vc, d)
+        v_real = len(vc)
+        for B, W in [(128, 256), (256, 512), (512, 768), (512, 1024)]:
+            cap = ((v_real + B - 1) // B) * B + B
+            rules = np.full((27, cap), -1, np.int32)
+            rules[:, :v_real] = rules_np
+            feats = jnp.asarray(rng.randn(cap, c), jnp.bfloat16)
+            weight = jnp.asarray(rng.randn(27, c, c) * 0.05, jnp.float32)
+            rules_j = jnp.asarray(rules)
+            _, _, n_over = window_rules(
+                rules_j, np.asarray(_SUBM_GROUPS, np.int32), 3, W, B, cap)
+            try:
+                t, _ = timed(lambda f, w, r: subm_conv_windowed(
+                    f, w, r, block_b=B, window_w=W), feats, weight, rules_j)
+                print(f'lvl{lvl} C={c} B={B} W={W}: {t:6.2f} ms '
+                      f'(overflow {int(n_over)})')
+            except Exception as e:
+                print(f'lvl{lvl} C={c} B={B} W={W}: FAIL {str(e)[:80]}')
+
+
+if __name__ == '__main__' and len(sys.argv) > 1 and sys.argv[1] == 'sweep':
+    sweep()
