@@ -343,7 +343,9 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
     valid_e = idx < big
     cls_e = jnp.where(valid_e, idx // p, 0)
     pt_e = jnp.where(valid_e, idx % p, 0)
-    shifted = coords_float[pt_e] + pt_offsets[pt_e].astype(jnp.float32)
+    # shift at point level first: ONE entry-level gather instead of two
+    shifted_pts = coords_float + pt_offsets.astype(jnp.float32)
+    shifted = shifted_pts[pt_e]
     group = batch_idxs[pt_e] * n_cls + cls_e
 
     # one clustering call for all classes (group key separates them);

@@ -24,10 +24,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Pallas windowed-gather kernel dispatch (see conv_kernel.py): wins for the
-# wide shallow levels where XLA's row gather moves a mostly-empty (16, 128)
-# tile per 32/64-channel row; XLA stays for deep levels (C >= 96, rows fill
-# tiles) and for shapes the kernel can't take.
+# Pallas windowed-gather kernel dispatch (see conv_kernel.py): XLA's row
+# gather moves a full (16, 128) tile per row AND serializes badly in fused
+# programs, so the kernel wins at every U-Net width; XLA remains the
+# portable fallback (CPU tests) and the autodiff implementation.
 _KERNEL_MAX_CHANNELS = 64
 _KERNEL_B = 128
 _KERNEL_W = 384
