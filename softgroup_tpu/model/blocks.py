@@ -78,16 +78,23 @@ def _torch_bias_init(fan_in):
 
 
 class SubMConv(nn.Module):
-    """3^3 submanifold conv (spconv.SubMConv3d k=3 p=1 bias=False)."""
+    """3^3 submanifold conv (spconv.SubMConv3d k=3 p=1 bias=False).
+
+    Accepts either a LevelGeom (keyed levels resolve neighbours in-kernel)
+    or a raw (27, V) rulebook array."""
     features: int
 
     @nn.compact
-    def __call__(self, x, rules):
+    def __call__(self, x, lv):
         cin = x.shape[-1]
         # spconv uses kaiming-style fan-in = 27 * cin
         w = self.param('kernel',
                        nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform'),
                        (27, cin, self.features))
+        rules = getattr(lv, 'subm_rules', lv)
+        if rules is None:
+            from ..ops.conv_kernel import keyed_subm_conv_ad
+            return keyed_subm_conv_ad(x, w, lv.ckey, lv.spatial_d)
         return subm_conv(x, w, rules)
 
 
@@ -96,12 +103,16 @@ class DownConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, down_rules):
+    def __call__(self, x, lv, nxt=None):
         cin = x.shape[-1]
         w = self.param('kernel',
                        nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform'),
                        (8, cin, self.features))
-        return down_conv(x, w, down_rules)
+        rules = getattr(lv, 'down_rules', lv)
+        if rules is None:
+            from ..ops.conv_kernel import keyed_down_conv_ad
+            return keyed_down_conv_ad(x, w, lv.ckey, nxt.ckey, nxt.spatial_d)
+        return down_conv(x, w, rules)
 
 
 class UpConv(nn.Module):
@@ -148,7 +159,7 @@ class ResidualBlock(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, rules, mask, train: bool):
+    def __call__(self, x, lv, mask, train: bool):
         cin = x.shape[-1]
         if cin == self.features:
             identity = x
@@ -160,10 +171,10 @@ class ResidualBlock(nn.Module):
             identity = linear(x, wi)
         y = MaskedBatchNorm(cin, name='norm1')(x, mask, train)
         y = nn.relu(y)
-        y = SubMConv(self.features, name='conv1')(y, rules)
+        y = SubMConv(self.features, name='conv1')(y, lv)
         y = MaskedBatchNorm(self.features, name='norm2')(y, mask, train)
         y = nn.relu(y)
-        y = SubMConv(self.features, name='conv2')(y, rules)
+        y = SubMConv(self.features, name='conv2')(y, lv)
         return y + identity
 
 
@@ -183,12 +194,12 @@ class UBlock(nn.Module):
         width = self.nPlanes[0]
         for i in range(self.block_reps):
             x = ResidualBlock(width, name=f'block{i}')(
-                x, lv.subm_rules, lv.vox_valid, train)
+                x, lv, lv.vox_valid, train)
         if len(self.nPlanes) > 1:
             nxt = levels[1]
             y = MaskedBatchNorm(width, name='conv_norm')(x, lv.vox_valid, train)
             y = nn.relu(y)
-            y = DownConv(self.nPlanes[1], name='conv')(y, lv.down_rules)
+            y = DownConv(self.nPlanes[1], name='conv')(y, lv, nxt)
             y = UBlock(self.nPlanes[1:], self.block_reps, name='u')(
                 y, levels[1:], train)
             y = MaskedBatchNorm(self.nPlanes[1], name='deconv_norm')(
@@ -198,5 +209,5 @@ class UBlock(nn.Module):
             x = jnp.concatenate([x, y], axis=1)
             for i in range(self.block_reps):
                 x = ResidualBlock(width, name=f'block_tail{i}')(
-                    x, lv.subm_rules, lv.vox_valid, train)
+                    x, lv, lv.vox_valid, train)
         return x

@@ -430,8 +430,40 @@ def clusters_voxelization(props: Proposals, feats: jax.Array,
     vx, ckey = voxelize_linear(c4, props.entry_valid, dims,
                                caps.inst_voxels[0])
     vox_feats = segment_mean(fe, vx.p2v, caps.inst_voxels[0])
-    levels = build_pyramid_from_voxels(vx, ckey, dims, caps.inst_voxels)
+    if jax.default_backend() == 'tpu' and spatial_shape % 2 == 0 \
+            and not rand_quantize:
+        # inference: keyed levels — the windowed conv kernel resolves
+        # neighbours from the sorted key table in-kernel, no rulebook
+        # searchsorted at all.  Training (rand_quantize=True) builds
+        # explicit rulebooks once so the conv VJPs reuse them instead of
+        # reconstructing rules per conv in the backward.
+        levels = build_keyed_levels(vx, ckey, dims, spatial_shape,
+                                    caps.inst_voxels)
+    else:
+        levels = build_pyramid_from_voxels(vx, ckey, dims, caps.inst_voxels)
     return vox_feats, levels, vx.p2v
+
+
+def build_keyed_levels(vx, ckey, dims, spatial_shape: int, capacities):
+    """Two-level keyed geometry for the tiny U-Net: sorted key tables plus
+    the parent/tap maps for the inverse conv; neighbour resolution happens
+    inside the keyed windowed conv kernel (ops/conv_kernel.py)."""
+    from ..ops.voxelize import voxelize_linear
+    d = spatial_shape
+    dc = d // 2
+    xyz = vx.vox_coords[:, 1:]
+    child_tap = ((xyz[:, 0] & 1) * 4 + (xyz[:, 1] & 1) * 2
+                 + (xyz[:, 2] & 1)).astype(jnp.int32)
+    parent_coords = jnp.concatenate(
+        [vx.vox_coords[:, :1], jnp.floor_divide(xyz, 2)], axis=1)
+    coarse_dims = (dims + 1) // 2
+    vx2, ckey2 = voxelize_linear(parent_coords, vx.vox_valid, coarse_dims,
+                                 capacities[1])
+    lv0 = LevelGeom(vx.vox_coords, vx.vox_valid, None, None, vx2.p2v,
+                    child_tap, dims, ckey=ckey, spatial_d=d)
+    lv1 = LevelGeom(vx2.vox_coords, vx2.vox_valid, None, None, None, None,
+                    coarse_dims, ckey=ckey2, spatial_d=dc)
+    return (lv0, lv1)
 
 
 def build_pyramid_from_voxels(vx, ckey, dims, capacities):

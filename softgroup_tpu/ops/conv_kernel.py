@@ -238,3 +238,386 @@ def inverse_conv_windowed(feats, weight, parent_idx, child_tap,
                       pi[None, :], -1).astype(jnp.int32)
     return windowed_conv(feats, _stack_weight(weight, 1), rules,
                          tuple([0] * k), 1, block_b, window_w, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Keyed windowed conv: neighbour resolution INSIDE the kernel
+# ---------------------------------------------------------------------------
+#
+# For device-built geometry (the tiny refinement U-Net on proposal grids,
+# `clusters_voxelization` reference softgroup.py:655-709) building an
+# explicit rulebook costs a large sorted join (searchsorted over 27*V
+# queries).  But the one-hot gather matrix the windowed kernel needs is just
+# an EQUALITY COMPARE on linear keys: OH[i, j] = (key[i] + delta_k ==
+# win_keys[j]).  So this variant takes the sorted key table itself, DMAs a
+# key window alongside each feature window, and resolves all 27 taps with
+# VPU compares — the only remaining host-of-kernel geometry is a tiny
+# (n_blocks x n_groups) searchsorted for the window starts.
+#
+# Keys are dense proposal-grid lin indices: ((b*D + x)*D + y)*D + z with
+# static D = spatial_shape; tap validity needs a bounds check on the decoded
+# coords (otherwise x=D-1 + 1 wraps into the next proposal's x=0).
+
+def _keyed_kernel(ws_ref, blk_keys_ref, wstack_ref, feats_ref, keys_ref,
+                  out_ref, win, wink, u, sems, *, b, w, n_groups, tpg,
+                  cin, cout, nb, d, offsets, group_of_tap, strided):
+    blk = pl.program_id(0)
+    slot = jax.lax.rem(blk, 2)
+    nxt = jax.lax.rem(blk + 1, 2)
+
+    def start_dmas(slot_i, blk_i):
+        for g in range(n_groups):
+            start = pl.multiple_of(ws_ref[blk_i, g] * 128, 128)
+            pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
+                                  win.at[slot_i, g],
+                                  sems.at[slot_i, g, 0]).start()
+            pltpu.make_async_copy(keys_ref.at[:, pl.ds(start, w)],
+                                  wink.at[slot_i, g],
+                                  sems.at[slot_i, g, 1]).start()
+
+    @pl.when(blk == 0)
+    def _():
+        start_dmas(0, 0)
+
+    @pl.when(blk + 1 < nb)
+    def _():
+        start_dmas(nxt, blk + 1)
+
+    for g in range(n_groups):
+        start = pl.multiple_of(ws_ref[blk, g] * 128, 128)
+        pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
+                              win.at[slot, g], sems.at[slot, g, 0]).wait()
+        pltpu.make_async_copy(keys_ref.at[:, pl.ds(start, w)],
+                              wink.at[slot, g], sems.at[slot, g, 1]).wait()
+
+    cd = jnp.bfloat16
+    for g in range(n_groups):
+        u[g] = jax.lax.dot(
+            win[slot, g].astype(cd), wstack_ref[g].astype(cd),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32).astype(cd)
+
+    key = blk_keys_ref[0]                          # (B,)
+    valid = key >= 0
+    d2, d3 = d * d, d * d * d
+    zc = jax.lax.rem(key, d)
+    yc = jax.lax.rem(jax.lax.div(key, d), d)
+    xc = jax.lax.rem(jax.lax.div(key, d2), d)
+    bc = jax.lax.div(key, d3)
+    acc = jnp.zeros((b, cout), jnp.float32)
+    k = len(offsets)
+    for t in range(k):
+        dx, dy, dz = offsets[t]
+        g = group_of_tap[t]
+        if strided:
+            # output key is on the COARSE grid; child = 2*coord + tap offset
+            q = ((bc * (2 * d) + 2 * xc + dx) * (2 * d)
+                 + 2 * yc + dy) * (2 * d) + 2 * zc + dz
+            ok = valid
+        else:
+            q = key + dx * d2 + dy * d + dz
+            ok = valid & (xc + dx >= 0) & (xc + dx < d) \
+                & (yc + dy >= 0) & (yc + dy < d) \
+                & (zc + dz >= 0) & (zc + dz < d)
+        q = jnp.where(ok, q, -1)
+        oh = (q[:, None] == wink[slot, g]).astype(cd)   # (B, W)
+        p = t % tpg
+        acc += jax.lax.dot(oh, u[g, :, p * cout:(p + 1) * cout],
+                           precision=jax.lax.Precision.DEFAULT,
+                           preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'spatial_shape', 'n_groups', 'group_of_tap', 'offsets', 'strided',
+    'block_b', 'window_w', 'interpret'))
+def keyed_windowed_conv(feats, wstack, out_keys, in_keys, spatial_shape,
+                        n_groups, group_of_tap, offsets, strided=False,
+                        block_b=128, window_w=512, interpret=False):
+    """Windowed conv resolving neighbours by key equality in-kernel.
+
+    Args:
+      feats: (V_in, Cin); in_keys (V_in,) SORTED linear keys (INT_MAX pads).
+      out_keys: (V_out,) sorted linear keys of output voxels (-1/INT_MAX
+        pads; == in_keys for submanifold).
+      spatial_shape: static D of the per-proposal grid (the key stride);
+        for strided=True it is the COARSE D (fine grid is 2D).
+      offsets: static tuple of (dx, dy, dz) taps, group-major by dx.
+      strided: k2s2 down conv (out on coarse grid, window over fine keys).
+    """
+    v_in, cin = feats.shape
+    v_out = out_keys.shape[0]
+    k = len(offsets)
+    tpg = k // n_groups
+    cout = wstack.shape[2] // tpg
+    b, w = block_b, window_w
+    assert v_out % b == 0 and v_in >= w, (v_out, b, v_in, w)
+    nb = v_out // b
+
+    if cin % 128:
+        pad = 128 - cin % 128
+        feats = jnp.pad(feats, ((0, 0), (0, pad)))
+        wstack = jnp.pad(wstack, ((0, 0), (0, pad), (0, 0)))
+        cin = cin + pad
+
+    d = spatial_shape
+    ok = (out_keys >= 0) & (out_keys != _INT_MAX)
+    out_keys_c = jnp.where(ok, out_keys, -1)
+
+    # window starts: one tiny searchsorted per (block, group) on the minimal
+    # in-key each block's group can reference
+    blk_first = out_keys_c.reshape(nb, b)
+    blk_first = jnp.where(blk_first >= 0, blk_first, jnp.int32(2 ** 30))
+    blk_first = blk_first.min(axis=1)                  # (nb,)
+    dmins = []
+    df = 2 * d if strided else d
+    for g in range(n_groups):
+        taps = [o for t, o in enumerate(offsets) if group_of_tap[t] == g]
+        if strided:
+            # child key of the block-min coarse key with the minimal tap
+        # (decode on host side of the kernel: done in jnp here)
+            dx = min(o[0] for o in taps)
+            zc = blk_first % d
+            yc = (blk_first // d) % d
+            xc = (blk_first // (d * d)) % d
+            bc = blk_first // (d * d * d)
+            qmin = ((bc * df + 2 * xc + dx) * df + 2 * yc) * df + 2 * zc
+        else:
+            delta = min(o[0] * d * d + o[1] * d + o[2] for o in taps)
+            qmin = blk_first + delta
+        dmins.append(qmin)
+    q = jnp.stack(dmins, axis=1).reshape(-1)           # (nb*n_groups,)
+    in_sorted = jnp.where(in_keys == _INT_MAX, jnp.int32(2 ** 30), in_keys)
+    pos = jnp.searchsorted(in_sorted, q, side='left', method='sort') \
+        .astype(jnp.int32).reshape(nb, n_groups)
+    starts = jnp.clip(pos, 0, max(v_in - w, 0)) // 128
+
+    keys2d = in_sorted[None, :]                        # (1, V_in)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, b), lambda i, ws: (0, i)),     # out keys
+            pl.BlockSpec(wstack.shape, lambda i, ws: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # feats
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # keys2d
+        ],
+        out_specs=pl.BlockSpec((b, cout), lambda i, ws: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_groups, w, cin), feats.dtype),
+            pltpu.VMEM((2, n_groups, 1, w), jnp.int32),
+            pltpu.VMEM((n_groups, w, tpg * cout), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, n_groups, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _keyed_kernel, b=b, w=w, n_groups=n_groups, tpg=tpg, cin=cin,
+        cout=cout, nb=nb, d=d, offsets=tuple(offsets),
+        group_of_tap=tuple(group_of_tap), strided=strided)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v_out, cout), feats.dtype),
+        interpret=interpret,
+    )(starts, out_keys_c[None, :], wstack, feats, keys2d)
+
+
+_SUBM_OFFS = tuple((dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                   for dz in (-1, 0, 1))
+_DOWN_OFFS = tuple((dx, dy, dz) for dx in (0, 1) for dy in (0, 1)
+                   for dz in (0, 1))
+
+
+def keyed_subm_conv(feats, weight, ckey, spatial_shape, block_b=128,
+                    window_w=512, interpret=False):
+    """Submanifold conv on a sorted proposal-grid key table (no rulebook)."""
+    return keyed_windowed_conv(
+        feats, _stack_weight(weight, 3), ckey, ckey, spatial_shape, 3,
+        _SUBM_GROUPS, _SUBM_OFFS, False, block_b, window_w, interpret)
+
+
+def keyed_down_conv(feats, weight, fine_key, coarse_key, coarse_d,
+                    block_b=128, window_w=1024, interpret=False):
+    """k2s2 down conv: coarse out keys, window over the fine key table
+    (each coarse block references up to ~8x block_b fine rows, hence the
+    wider window — measured worst 766 on dense proposal blobs)."""
+    return keyed_windowed_conv(
+        feats, _stack_weight(weight, 2), coarse_key, fine_key, coarse_d, 2,
+        _DOWN_GROUPS, _DOWN_OFFS, True, block_b, window_w, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrappers for the keyed convs: the backward reconstructs an
+# explicit rulebook from the key table (one searchsorted — paid only inside
+# the training backward, never at inference) and reuses the XLA conv VJP.
+# ---------------------------------------------------------------------------
+
+def _rules_from_keys(out_keys, in_keys, d, offsets, strided):
+    """(K, V_out) rulebook by key lookup (jittable, XLA)."""
+    ok = (out_keys >= 0) & (out_keys != _INT_MAX)
+    key = jnp.where(ok, out_keys, -1)
+    d2, d3 = d * d, d * d * d
+    zc = key % d
+    yc = (key // d) % d
+    xc = (key // d2) % d
+    bc = key // d3
+    qs = []
+    df = 2 * d
+    for (dx, dy, dz) in offsets:
+        if strided:
+            q = ((bc * df + 2 * xc + dx) * df + 2 * yc + dy) * df \
+                + 2 * zc + dz
+            t_ok = ok
+        else:
+            q = key + dx * d2 + dy * d + dz
+            t_ok = ok & (xc + dx >= 0) & (xc + dx < d) \
+                & (yc + dy >= 0) & (yc + dy < d) \
+                & (zc + dz >= 0) & (zc + dz < d)
+        qs.append(jnp.where(t_ok, q, jnp.int32(2 ** 30)))
+    q = jnp.stack(qs, axis=0)                               # (K, V_out)
+    tab = jnp.where(in_keys == _INT_MAX, jnp.int32(2 ** 30) - 1, in_keys)
+    pos = jnp.searchsorted(tab, q.reshape(-1), side='left', method='sort') \
+        .astype(jnp.int32).reshape(q.shape)
+    v_in = in_keys.shape[0]
+    pc = jnp.clip(pos, 0, v_in - 1)
+    hit = (pos < v_in) & (tab[pc] == q)
+    return jnp.where(hit, pc, -1)
+
+
+def _keyed_vjp(fwd_fn, rules_fn):
+    @jax.custom_vjp
+    def f(feats, weight, *keys_args):
+        return fwd_fn(feats, weight, *keys_args)
+
+    def fwd(feats, weight, *keys_args):
+        return f(feats, weight, *keys_args), (feats, weight, keys_args)
+
+    def bwd(res, g):
+        from .sparse_conv import _conv_xla
+        feats, weight, keys_args = res
+        rules = rules_fn(*keys_args)
+        g_feats = jax.vjp(
+            lambda x: _conv_xla(x, weight, rules, feats.dtype), feats
+        )[1](g)[0]
+        g_weight = jax.vjp(
+            lambda w: _conv_xla(feats, w, rules, feats.dtype), weight
+        )[1](g)[0]
+        return (g_feats, g_weight) + (None,) * len(keys_args)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def keyed_subm_conv_ad(feats, weight, ckey, spatial_shape, **kw):
+    f = _keyed_vjp(
+        lambda x, w, k: keyed_subm_conv(x, w, k, spatial_shape, **kw),
+        lambda k: _rules_from_keys(k, k, spatial_shape, _SUBM_OFFS, False))
+    return f(feats, weight, ckey)
+
+
+def keyed_down_conv_ad(feats, weight, fine_key, coarse_key, coarse_d, **kw):
+    f = _keyed_vjp(
+        lambda x, w, fk, ck: keyed_down_conv(x, w, fk, ck, coarse_d, **kw),
+        lambda fk, ck: _rules_from_keys(ck, fk, coarse_d, _DOWN_OFFS, True))
+    return f(feats, weight, fine_key, coarse_key)
+
+
+# ---------------------------------------------------------------------------
+# Weight-gradient kernel: dW[k] = sum_v feats[rules[k, v]] (x) g[v]
+# ---------------------------------------------------------------------------
+#
+# The training backward's weight gradient is the same windowed gather as the
+# forward followed by a per-tap outer-product reduction; XLA's fallback pays
+# 27 row gathers per conv.  This kernel reuses the forward's windows/one-hots
+# and accumulates dW in a VMEM-resident output across the sequential grid.
+
+def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
+               b, w, k, n_groups, tpg, cin, cout, nb):
+    blk = pl.program_id(0)
+    slot = jax.lax.rem(blk, 2)
+    nxt = jax.lax.rem(blk + 1, 2)
+
+    def start_dmas(slot_i, blk_i):
+        for g in range(n_groups):
+            start = pl.multiple_of(ws_ref[blk_i, g] * 16, 16)
+            pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
+                                  win.at[slot_i, g], sems.at[slot_i, g]).start()
+
+    @pl.when(blk == 0)
+    def _():
+        start_dmas(0, 0)
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(blk + 1 < nb)
+    def _():
+        start_dmas(nxt, blk + 1)
+
+    for g in range(n_groups):
+        start = pl.multiple_of(ws_ref[blk, g] * 16, 16)
+        pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
+                              win.at[slot, g], sems.at[slot, g]).wait()
+
+    cd = jnp.bfloat16
+    gb = g_ref[:].astype(cd)                            # (B, Cout)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    for t in range(k):
+        g, p = t // tpg, t % tpg
+        oh = (rules_ref[t][:, None] == iota).astype(cd)
+        f_t = jax.lax.dot(oh, win[slot, g].astype(cd),
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32).astype(cd)
+        dw = jax.lax.dot_general(
+            f_t, gb, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)          # (Cin, Cout)
+        out_ref[g, :, p * cout:(p + 1) * cout] += dw
+
+
+@functools.partial(jax.jit, static_argnames=('group_of_tap', 'n_groups',
+                                             'block_b', 'window_w',
+                                             'interpret'))
+def windowed_conv_dw(feats, g_out, rules, group_of_tap, n_groups,
+                     block_b=128, window_w=384, interpret=False):
+    """Weight gradient of windowed_conv wrt the (K, Cin, Cout) weights."""
+    v_in, cin_real = feats.shape
+    k, v_out = rules.shape
+    cout = g_out.shape[1]
+    tpg = k // n_groups
+    b, w = block_b, window_w
+    assert v_out % b == 0 and v_in >= w
+    nb = v_out // b
+    gmap = np.asarray(group_of_tap, np.int32)
+    feats_p = feats
+    cin = cin_real
+    if cin % 128:
+        pad = 128 - cin % 128
+        feats_p = jnp.pad(feats, ((0, 0), (0, pad)))
+        cin += pad
+    local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((k, b), lambda i, ws: (0, i)),
+            pl.BlockSpec((b, cout), lambda i, ws: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((n_groups, cin, tpg * cout),
+                               lambda i, ws: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_groups, w, cin), feats_p.dtype),
+            pltpu.SemaphoreType.DMA((2, n_groups)),
+        ],
+    )
+    kernel = functools.partial(_dw_kernel, b=b, w=w, k=k, n_groups=n_groups,
+                               tpg=tpg, cin=cin, cout=cout, nb=nb)
+    dw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups, cin, tpg * cout),
+                                       jnp.float32),
+        interpret=interpret,
+    )(starts, local, g_out, feats_p)
+    # (n_groups, cin, tpg*cout) -> (K, cin_real, cout), inverting _stack_weight
+    dw = dw.reshape(n_groups, cin, tpg, cout).transpose(0, 2, 1, 3)
+    return dw.reshape(k, cin, cout)[:, :cin_real, :]

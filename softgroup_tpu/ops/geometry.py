@@ -29,15 +29,25 @@ from .voxelize import Voxelized, voxelize, voxelize_np
 
 @struct.dataclass
 class LevelGeom:
-    """Static-capacity geometry of one pyramid level."""
+    """Static-capacity geometry of one pyramid level.
+
+    Two interchangeable encodings of the neighbour structure:
+      * explicit rulebooks (subm_rules / down_rules) — host-precomputed for
+        the backbone pyramid;
+      * a sorted linear-key table (ckey + static spatial_d) — for
+        device-built proposal-grid geometry, resolved in-kernel by the
+        keyed windowed conv (ops/conv_kernel.py) with no rulebook at all.
+    """
     vox_coords: jax.Array   # (V, 4) int32
     vox_valid: jax.Array    # (V,) bool
-    subm_rules: jax.Array   # (27, V) int32, -1 = missing neighbour
+    subm_rules: jax.Array | None   # (27, V) int32, -1 = missing neighbour
     # maps to the next (coarser) level; last level carries dummies
     down_rules: jax.Array | None    # (8, V_next) int32 into this level
     parent_idx: jax.Array | None    # (V,) int32 into next level (V_next if invalid)
     child_tap: jax.Array | None     # (V,) int32 in [0, 8)
     dims: jax.Array        # (3,) int32 spatial extent at this level
+    ckey: jax.Array | None = None   # (V,) sorted linear keys (keyed levels)
+    spatial_d: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 # programs, so the kernel wins at every U-Net width; XLA remains the
 # portable fallback (CPU tests) and the autodiff implementation.
 _KERNEL_MAX_CHANNELS = 64
+_KERNEL_MIN_VOXELS = 4096
 _KERNEL_B = 128
 _KERNEL_W = 384
 
@@ -37,6 +38,7 @@ def _kernel_ok(v_out: int, v_in: int, cout: int) -> bool:
     return (jax.default_backend() == 'tpu'
             and cout <= _KERNEL_MAX_CHANNELS
             and v_out % _KERNEL_B == 0
+            and v_out >= _KERNEL_MIN_VOXELS
             and v_in >= _KERNEL_W)
 
 
@@ -58,12 +60,10 @@ def subm_conv(feats: jax.Array, weight: jax.Array, rules: jax.Array,
     schedule them as a single large contraction.
     """
     cd = compute_dtype or feats.dtype
-    v_out = rules.shape[1]
-    c_out = weight.shape[2]
-    if _kernel_ok(v_out, feats.shape[0], c_out) \
-            and rules.shape[0] in (27, 8):
-        return _conv_windowed_vjp(feats.astype(cd), weight,
-                                  rules).astype(feats.dtype)
+    if rules.shape[0] == 27 and feats.shape[0] == rules.shape[1]:
+        return _subm_vjp(feats.astype(cd), weight, rules).astype(feats.dtype)
+    if rules.shape[0] == 8:
+        return _down_vjp(feats.astype(cd), weight, rules).astype(feats.dtype)
     return _conv_xla(feats, weight, rules, cd)
 
 
@@ -84,44 +84,93 @@ def _conv_xla(feats, weight, rules, cd):
     return out.astype(feats.dtype)
 
 
+def _dw(feats, g, rules, groups, n_groups, weight_dtype):
+    """Weight gradient — Pallas kernel when eligible, XLA scatter otherwise
+    (CPU).  Both are exact."""
+    if _kernel_ok(rules.shape[1], feats.shape[0], g.shape[1]) or (
+            jax.default_backend() == 'tpu'
+            and rules.shape[1] % _KERNEL_B == 0
+            and rules.shape[1] >= _KERNEL_MIN_VOXELS
+            and feats.shape[0] >= _KERNEL_W):
+        from .conv_kernel import windowed_conv_dw
+        return windowed_conv_dw(feats, g.astype(feats.dtype), rules, groups,
+                                n_groups, _KERNEL_B,
+                                _KERNEL_W).astype(weight_dtype)
+    k = len(groups)
+    zeros_w = jnp.zeros((k,) + (feats.shape[1], g.shape[1]), weight_dtype)
+    return jax.vjp(lambda w: _conv_xla(feats, w, rules, feats.dtype),
+                   zeros_w)[1](g)[0]
+
+
 @jax.custom_vjp
-def _conv_windowed_vjp(feats, weight, rules):
-    """Pallas windowed kernel forward with a differentiable backward.
+def _subm_vjp(feats, weight, rules):
+    """Submanifold conv with a scatter-free backward.
 
-    Backward: grad wrt feats reuses the kernel for 27-tap submanifold convs
-    (offset symmetry: the transpose of tap k is tap K-1-k on the same
-    rulebook, valid because subm in/out voxel sets coincide); everything
-    else falls back to the XLA path's VJP.
+    Forward: Pallas windowed kernel when eligible, XLA gather-GEMM
+    otherwise.  Backward grad-wrt-feats uses offset symmetry — the
+    transpose of tap k is tap K-1-k on the SAME rulebook (subm in/out voxel
+    sets coincide) — so it is just the conv with flipped transposed weights:
+    pure gathers on both backends, never XLA's scatter-add transpose.
     """
-    from .conv_kernel import down_conv_windowed, subm_conv_windowed
-    if rules.shape[0] == 27:
-        return subm_conv_windowed(feats, weight, rules, _KERNEL_B, _KERNEL_W)
-    return down_conv_windowed(feats, weight, rules, _KERNEL_B, _KERNEL_W)
-
-
-def _conv_windowed_fwd(feats, weight, rules):
-    return _conv_windowed_vjp(feats, weight, rules), (feats, weight, rules)
-
-
-def _conv_windowed_bwd(res, g):
-    feats, weight, rules = res
-    k = weight.shape[0]
-    subm = k == 27 and feats.shape[0] == rules.shape[1]
-    if subm and _kernel_ok(feats.shape[0], feats.shape[0], weight.shape[1]):
+    if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
         from .conv_kernel import subm_conv_windowed
-        w_t = jnp.flip(jnp.swapaxes(weight, 1, 2), axis=0)
-        g_feats = subm_conv_windowed(g.astype(feats.dtype), w_t, rules,
-                                     _KERNEL_B, _KERNEL_W)
-    else:
-        g_feats = jax.vjp(
-            lambda f: _conv_xla(f, weight, rules, feats.dtype), feats
-        )[1](g)[0]
-    g_weight = jax.vjp(
-        lambda w: _conv_xla(feats, w, rules, feats.dtype), weight)[1](g)[0]
+        return subm_conv_windowed(feats, weight, rules, _KERNEL_B, _KERNEL_W)
+    return _conv_xla(feats, weight, rules, feats.dtype)
+
+
+def _subm_fwd(feats, weight, rules):
+    return _subm_vjp(feats, weight, rules), (feats, weight, rules)
+
+
+def _subm_bwd(res, g):
+    from .conv_kernel import _SUBM_GROUPS
+    feats, weight, rules = res
+    w_t = jnp.flip(jnp.swapaxes(weight, 1, 2), axis=0)
+    g_feats = _subm_vjp(g.astype(feats.dtype), w_t, rules)
+    g_weight = _dw(feats, g, rules, _SUBM_GROUPS, 3, weight.dtype)
     return g_feats, g_weight, None
 
 
-_conv_windowed_vjp.defvjp(_conv_windowed_fwd, _conv_windowed_bwd)
+_subm_vjp.defvjp(_subm_fwd, _subm_bwd)
+
+
+@jax.custom_vjp
+def _down_vjp(feats, weight, rules):
+    """k2s2 down conv with a scatter-free backward: grad wrt the fine feats
+    is the paired INVERSE conv (each fine voxel has exactly one (parent,
+    tap)) — a gather, reconstructed from the down rulebook with one small
+    int scatter instead of XLA's (V_fine, C) scatter-add transpose."""
+    if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
+        from .conv_kernel import down_conv_windowed
+        return down_conv_windowed(feats, weight, rules, _KERNEL_B, _KERNEL_W)
+    return _conv_xla(feats, weight, rules, feats.dtype)
+
+
+def _down_fwd(feats, weight, rules):
+    return _down_vjp(feats, weight, rules), (feats, weight, rules)
+
+
+def _down_bwd(res, g):
+    from .conv_kernel import _DOWN_GROUPS
+    feats, weight, rules = res
+    v_f = feats.shape[0]
+    v_c = rules.shape[1]
+    k = rules.shape[0]
+    flat_v = jnp.where(rules >= 0, rules, v_f).reshape(-1)
+    cols = jnp.broadcast_to(jnp.arange(v_c, dtype=jnp.int32)[None, :],
+                            (k, v_c)).reshape(-1)
+    taps = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[:, None],
+                            (k, v_c)).reshape(-1)
+    parent_idx = jnp.full((v_f + 1,), v_c, jnp.int32).at[flat_v].set(
+        cols)[:v_f]
+    child_tap = jnp.zeros((v_f + 1,), jnp.int32).at[flat_v].set(taps)[:v_f]
+    w_t = jnp.swapaxes(weight, 1, 2)
+    g_feats = inverse_conv(g.astype(feats.dtype), w_t, parent_idx, child_tap)
+    g_weight = _dw(feats, g, rules, _DOWN_GROUPS, 2, weight.dtype)
+    return g_feats, g_weight, None
+
+
+_down_vjp.defvjp(_down_fwd, _down_bwd)
 
 
 def down_conv(feats: jax.Array, weight: jax.Array, down_rules: jax.Array,

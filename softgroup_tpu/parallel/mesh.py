@@ -40,7 +40,25 @@ def init_dist(coordinator: str | None = None, num_processes: int | None = None,
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    """1-D 'data' mesh over n_devices.
+
+    If the default backend has fewer devices, fall back to the CPU backend
+    (virtual devices via --xla_force_host_platform_device_count) rather than
+    silently building a smaller mesh — a dry run asking for 8-way sharding
+    must actually exercise 8-way sharding.
+    """
+    devs = jax.devices()
+    if n_devices and len(devs) < n_devices:
+        cpu = jax.devices('cpu')
+        if len(cpu) >= n_devices:
+            devs = cpu
+        else:
+            raise ValueError(
+                f'make_mesh: requested {n_devices} devices but only '
+                f'{len(devs)} {devs[0].platform} / {len(cpu)} cpu available '
+                f'(set --xla_force_host_platform_device_count)')
+    if n_devices:
+        devs = devs[:n_devices]
     return Mesh(np.asarray(devs), ('data',))
 
 

@@ -86,3 +86,97 @@ class TestWindowedConv:
             feats_c, w_up, jnp.asarray(parent), jnp.asarray(tap),
             block_b=128, window_w=512, interpret=True))
         np.testing.assert_allclose(out, ref, rtol=0.03, atol=0.05)
+
+
+class TestKeyedConv:
+    """Keyed windowed conv (neighbour resolution from the sorted key table
+    in-kernel) vs the explicit-rulebook oracle, on proposal-grid keys."""
+
+    def _grids(self, rng, n_prop=6, d=20, pts_per=600):
+        import jax.numpy as jnp
+        from softgroup_tpu.ops.voxelize import voxelize_linear
+        coords = []
+        for p in range(n_prop):
+            c = rng.randint(0, d, (pts_per, 3))
+            coords.append(np.concatenate(
+                [np.full((pts_per, 1), p), c], axis=1))
+        c4 = np.concatenate(coords).astype(np.int32)
+        cap = 4096
+        c4p = np.zeros((cap, 4), np.int32)
+        c4p[:len(c4)] = c4
+        valid = np.arange(cap) < len(c4)
+        dims = jnp.full((3,), d, jnp.int32)
+        vx, ckey = voxelize_linear(jnp.asarray(c4p), jnp.asarray(valid),
+                                   dims, cap)
+        return vx, ckey, dims, d
+
+    def test_keyed_subm_matches_rules(self, rng):
+        import jax.numpy as jnp
+        from softgroup_tpu.ops.conv_kernel import keyed_subm_conv
+        from softgroup_tpu.ops.rulebook import build_subm_rules_linear
+        from softgroup_tpu.ops.sparse_conv import subm_conv
+        vx, ckey, dims, d = self._grids(rng)
+        rules = build_subm_rules_linear(ckey, vx.vox_coords, vx.vox_valid,
+                                        dims)
+        cin, cout = 16, 8
+        cap = ckey.shape[0]
+        feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+        feats = feats * vx.vox_valid[:, None]
+        w = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+        ref = np.asarray(subm_conv(feats, w, rules))
+        out = np.asarray(keyed_subm_conv(feats, w, ckey, d, block_b=128,
+                                         window_w=512, interpret=True))
+        valid = np.asarray(vx.vox_valid)
+        np.testing.assert_allclose(out[valid], ref[valid], rtol=0.03,
+                                   atol=0.05)
+
+    def test_keyed_down_matches_rules(self, rng):
+        import jax.numpy as jnp
+        from softgroup_tpu.ops.conv_kernel import keyed_down_conv
+        from softgroup_tpu.ops.rulebook import build_downsample_linear
+        from softgroup_tpu.ops.sparse_conv import down_conv
+        from softgroup_tpu.ops.voxelize import voxelize_linear
+        vx, ckey, dims, d = self._grids(rng)
+        cap_c = 4096  # > real coarse count (overflow rows differ by design)
+        (nc, nv, _, down_rules, parent_idx, child_tap, ckey2,
+         cdims) = build_downsample_linear(vx.vox_coords, vx.vox_valid,
+                                          dims, cap_c)
+        cin, cout = 16, 8
+        cap = ckey.shape[0]
+        feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+        feats = feats * vx.vox_valid[:, None]
+        w = jnp.asarray(rng.randn(8, cin, cout) * 0.1, jnp.float32)
+        ref = np.asarray(down_conv(feats, w, down_rules))
+        out = np.asarray(keyed_down_conv(feats, w, ckey, ckey2, d // 2,
+                                         block_b=128, window_w=1024,
+                                         interpret=True))
+        valid = np.asarray(nv)
+        np.testing.assert_allclose(out[valid], ref[valid], rtol=0.03,
+                                   atol=0.05)
+
+
+class TestWeightGrad:
+    def test_dw_matches_xla_vjp(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from softgroup_tpu.ops.conv_kernel import (windowed_conv_dw,
+                                                   _SUBM_GROUPS)
+        from softgroup_tpu.ops.sparse_conv import _conv_xla
+        vox = _scene(rng)
+        dims = vox[:, 1:].max(0) + 1
+        rules_np = build_subm_rules_np(vox, dims)
+        v = len(vox)
+        cap = ((v + 127) // 128) * 128 + 128
+        rules = np.full((27, cap), -1, np.int32)
+        rules[:, :v] = rules_np
+        cin, cout = 16, 8
+        feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+        weight = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.randn(cap, cout), jnp.float32)
+        rules_j = jnp.asarray(rules)
+        ref = jax.vjp(lambda w: _conv_xla(feats, w, rules_j, jnp.float32),
+                      weight)[1](g)[0]
+        out = windowed_conv_dw(feats, g, rules_j, _SUBM_GROUPS, 3,
+                               block_b=128, window_w=512, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0.05, atol=0.3)
