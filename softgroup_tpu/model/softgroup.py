@@ -348,22 +348,33 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
     shifted = shifted_pts[pt_e]
     group = batch_idxs[pt_e] * n_cls + cls_e
 
-    # one clustering call for all classes (group key separates them);
-    # cell-contraction mode (SoftGroup++-style pyramid query) by default
-    from ..ops.grouping import cell_cluster
-    cell_scale = float(getattr_or(cfg.grouping_cfg, 'cell_scale', 1.0))
+    # one clustering call for all classes (group key separates them).
+    # Default: cell contraction (the SoftGroup++-style pyramid centroid
+    # query — fast path).  grouping_cfg.exact_ball_query: point-level radius
+    # graph CC (ball_cluster), the exact analogue of the reference vanilla
+    # SoftGroup's ballquery_batch_p + BFS.
     m = caps.grouping_cells
-    labels, cell_of, clab, cnt = cell_cluster(
-        shifted, group, valid_e, radius_j, cell_scale=cell_scale, m_cap=m)
-
-    # component sizes + class-size threshold (bfs_cluster.cpp:70-78):
-    # accumulated at cell granularity (labels live in cell-index space)
-    sizes = jnp.zeros((m + 1,), jnp.float32).at[
-        jnp.clip(clab, 0, m)].add(cnt)
+    if getattr_or(cfg.grouping_cfg, 'exact_ball_query', False):
+        labels_pt = ball_cluster(shifted, group, valid_e, radius_j)
+        # per-label sizes in point-index label space
+        sizes = jnp.zeros((n_tot + 1,), jnp.float32).at[
+            jnp.where(labels_pt >= 0, labels_pt, n_tot)].add(1.0)
+        labels = labels_pt
+        size_of = sizes[jnp.clip(labels, 0, n_tot - 1)]
+    else:
+        from ..ops.grouping import cell_cluster
+        cell_scale = float(getattr_or(cfg.grouping_cfg, 'cell_scale', 1.0))
+        labels, cell_of, clab, cnt = cell_cluster(
+            shifted, group, valid_e, radius_j, cell_scale=cell_scale,
+            m_cap=m)
+        # component sizes + class-size threshold (bfs_cluster.cpp:70-78):
+        # accumulated at cell granularity (labels live in cell-index space)
+        sizes = jnp.zeros((m + 1,), jnp.float32).at[
+            jnp.clip(clab, 0, m)].add(cnt)
+        size_of = sizes[jnp.clip(labels, 0, m - 1)]
     np_mean = numpoint_mean[cls_e]
     thr = jnp.where(np_mean == -1.0, npoint_thr, npoint_thr * np_mean)
-    keep = valid_e & (labels >= 0) \
-        & (sizes[jnp.clip(labels, 0, m - 1)] >= thr)
+    keep = valid_e & (labels >= 0) & (size_of >= thr)
 
     # ---- build the global static CSR (:467-480) ---------------------------
     s_cap = caps.proposal_entries

@@ -68,20 +68,21 @@ def subm_conv(feats: jax.Array, weight: jax.Array, rules: jax.Array,
 
 
 def _conv_xla(feats, weight, rules, cd):
-    """Portable gather-GEMM path (and the autodiff implementation)."""
+    """Portable gather-GEMM path (and the autodiff implementation).
+
+    Unrolled taps (python loop): XLA schedules the K gathers in parallel
+    with the matmuls; a lax.scan would serialize them."""
     v_out = rules.shape[1]
     c_out = weight.shape[2]
-
-    def tap(acc, kw):
-        w_k, r_k = kw
-        g = _gather_padded(feats, r_k).astype(cd)  # (V, Cin)
-        acc = acc + jnp.dot(g, w_k.astype(cd),
+    v = feats.shape[0]
+    zero_row = jnp.zeros((1,) + feats.shape[1:], feats.dtype)
+    padded = jnp.concatenate([feats, zero_row], axis=0)
+    acc = jnp.zeros((v_out, c_out), jnp.float32)
+    for k in range(rules.shape[0]):
+        g = padded[jnp.where(rules[k] < 0, v, rules[k])].astype(cd)
+        acc = acc + jnp.dot(g, weight[k].astype(cd),
                             preferred_element_type=jnp.float32)
-        return acc, None
-
-    init = jnp.zeros((v_out, c_out), jnp.float32)
-    out, _ = jax.lax.scan(tap, init, (weight, rules))
-    return out.astype(feats.dtype)
+    return acc.astype(feats.dtype)
 
 
 def _dw(feats, g, rules, groups, n_groups, weight_dtype):
