@@ -51,7 +51,7 @@ def window_rules(rules: jax.Array, group_of_tap: np.ndarray, n_groups: int,
     Returns:
       local: (K, V_out) int32 window-local indices (anything outside [0, w)
         contributes zero in the kernel — no clipping needed).
-      starts: (nb, n_groups) int32 window start rows in UNITS OF 16 (the
+      starts: (n_groups, nb) int32 window start rows in UNITS OF 16 (the
         kernel multiplies by 16 so Mosaic can prove sublane alignment of the
         DMA slice; w must include a 16-row alignment margin).
       n_overflow: () int32 — entries dropped because the block's window
@@ -67,9 +67,11 @@ def window_rules(rules: jax.Array, group_of_tap: np.ndarray, n_groups: int,
         s = big[taps].min(axis=(0, 2))          # (nb,)
         s = jnp.where(s == _INT_MAX, 0, s)
         starts.append(jnp.clip(s, 0, max(v_in - w, 0)) // 16)
-    starts = jnp.stack(starts, axis=1).astype(jnp.int32)   # (nb, n_groups)
+    starts = jnp.stack(starts, axis=0).astype(jnp.int32)   # (n_groups, nb)
+    # (group-major layout: SMEM scalar-prefetch operands are lane-padded to
+    # 128, so the long axis must be the lane axis)
     gmap = jnp.asarray(group_of_tap, jnp.int32)
-    ws_tap = starts.T[gmap] * 16                             # (K, nb)
+    ws_tap = starts[gmap] * 16                               # (K, nb)
     local = rb - ws_tap[:, :, None]
     local = jnp.where(rb < 0, -1, local)
     n_overflow = jnp.sum(local >= w)
@@ -88,7 +90,7 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
 
     def start_dmas(slot_i, blk_i):
         for g in range(n_groups):
-            start = pl.multiple_of(ws_ref[blk_i, g] * 16, 16)
+            start = pl.multiple_of(ws_ref[g, blk_i] * 16, 16)
             pltpu.make_async_copy(
                 feats_ref.at[pl.ds(start, w)],
                 win.at[slot_i, g],
@@ -104,7 +106,7 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
         start_dmas(nxt, blk + 1)
 
     for g in range(n_groups):
-        start = pl.multiple_of(ws_ref[blk, g] * 16, 16)
+        start = pl.multiple_of(ws_ref[g, blk] * 16, 16)
         pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
                               win.at[slot, g], sems.at[slot, g]).wait()
 
@@ -267,7 +269,7 @@ def _keyed_kernel(ws_ref, blk_keys_ref, wstack_ref, feats_ref, keys_ref,
 
     def start_dmas(slot_i, blk_i):
         for g in range(n_groups):
-            start = pl.multiple_of(ws_ref[blk_i, g] * 128, 128)
+            start = pl.multiple_of(ws_ref[g, blk_i] * 128, 128)
             pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
                                   win.at[slot_i, g],
                                   sems.at[slot_i, g, 0]).start()
@@ -284,7 +286,7 @@ def _keyed_kernel(ws_ref, blk_keys_ref, wstack_ref, feats_ref, keys_ref,
         start_dmas(nxt, blk + 1)
 
     for g in range(n_groups):
-        start = pl.multiple_of(ws_ref[blk, g] * 128, 128)
+        start = pl.multiple_of(ws_ref[g, blk] * 128, 128)
         pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
                               win.at[slot, g], sems.at[slot, g, 0]).wait()
         pltpu.make_async_copy(keys_ref.at[:, pl.ds(start, w)],
@@ -390,7 +392,7 @@ def keyed_windowed_conv(feats, wstack, out_keys, in_keys, spatial_shape,
     in_sorted = jnp.where(in_keys == _INT_MAX, jnp.int32(2 ** 30), in_keys)
     pos = jnp.searchsorted(in_sorted, q, side='left', method='sort') \
         .astype(jnp.int32).reshape(nb, n_groups)
-    starts = jnp.clip(pos, 0, max(v_in - w, 0)) // 128
+    starts = (jnp.clip(pos, 0, max(v_in - w, 0)) // 128).T  # (n_groups, nb)
 
     keys2d = in_sorted[None, :]                        # (1, V_in)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -539,7 +541,7 @@ def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
 
     def start_dmas(slot_i, blk_i):
         for g in range(n_groups):
-            start = pl.multiple_of(ws_ref[blk_i, g] * 16, 16)
+            start = pl.multiple_of(ws_ref[g, blk_i] * 16, 16)
             pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
                                   win.at[slot_i, g], sems.at[slot_i, g]).start()
 
@@ -553,7 +555,7 @@ def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
         start_dmas(nxt, blk + 1)
 
     for g in range(n_groups):
-        start = pl.multiple_of(ws_ref[blk, g] * 16, 16)
+        start = pl.multiple_of(ws_ref[g, blk] * 16, 16)
         pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
                               win.at[slot, g], sems.at[slot, g]).wait()
 
