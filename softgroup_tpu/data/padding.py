@@ -62,7 +62,8 @@ def build_scene_batch(coords: np.ndarray, coords_float: np.ndarray,
                       instance_cls: np.ndarray, spatial_shape: np.ndarray,
                       caps: Capacities, num_levels: int,
                       ignore_label: int = -100,
-                      batch_idxs: np.ndarray | None = None) -> SceneBatch:
+                      batch_idxs: np.ndarray | None = None,
+                      with_coords: bool = True) -> SceneBatch:
     """Pad a collated (numpy) batch into a SceneBatch with its pyramid.
 
     coords: (N, 4) int (batch, x, y, z) voxel coords (scaled, shifted >= 0).
@@ -80,6 +81,19 @@ def build_scene_batch(coords: np.ndarray, coords_float: np.ndarray,
                                caps.voxels)
     # re-pad the point-level maps to caps.points
     p2v = np.asarray(pyramid.p2v)
+
+    # host-side voxel-mean network input (reference `voxelization` mode 4,
+    # voxelize.cu:9-40 — done here so the device never sees point features)
+    fin = feats.astype(np.float32)
+    if with_coords:
+        fin = np.concatenate([fin, coords_float.astype(np.float32)], axis=1)
+    cap0 = caps.voxels[0]
+    cnt = np.bincount(p2v, minlength=cap0).astype(np.float32)[:cap0]
+    vox_in = np.empty((cap0, fin.shape[1]), np.float32)
+    denom = np.maximum(cnt, 1.0)
+    for c in range(fin.shape[1]):
+        vox_in[:, c] = np.bincount(p2v, weights=fin[:, c],
+                                   minlength=cap0)[:cap0] / denom
     p2v = pad_to(p2v, caps.points, caps.voxels[0])
     point_valid = np.zeros((caps.points,), bool)
     point_valid[:n] = True
@@ -112,4 +126,5 @@ def build_scene_batch(coords: np.ndarray, coords_float: np.ndarray,
             pad_to(instance_cls.astype(np.int32), caps.instances,
                    ignore_label)),
         instance_valid=jnp.asarray(inst_valid),
+        vox_in=jnp.asarray(vox_in),
     )

@@ -51,6 +51,9 @@ class SceneBatch:
     instance_pointnum: jax.Array  # (I,) int32
     instance_cls: jax.Array       # (I,) int32 (ignore_label for pads)
     instance_valid: jax.Array     # (I,) bool
+    vox_in: jax.Array | None = None  # (V0, C_in) host-precomputed voxel-mean
+    # network input ([colors || coords_float] per with_coords) — saves the
+    # device-side segment mean and the point-feature transfer
 
 
 class Capacities(NamedTuple):
@@ -110,11 +113,11 @@ class SoftGroupNet(nn.Module):
         (`softgroup.py:98-104`)."""
         return train and name not in self.fixed_modules
 
-    def backbone(self, feats: jax.Array, pyramid: Pyramid, train: bool):
+    def backbone(self, x: jax.Array, pyramid: Pyramid, train: bool):
         """input_conv -> UBlock -> BN/ReLU -> devoxelize -> point heads
-        (`forward_backbone`, softgroup.py:363-378)."""
+        (`forward_backbone`, softgroup.py:363-378).  ``x`` is the
+        voxel-level input (V0, C_in) — see _input_voxels."""
         lv0 = pyramid.levels[0]
-        x = voxel_features(feats, pyramid.p2v, lv0.vox_valid.shape[0])
         if self.bf16:
             x = x.astype(jnp.bfloat16)
         x = self.input_conv(x, lv0.subm_rules)
@@ -132,12 +135,11 @@ class SoftGroupNet(nn.Module):
             self._t('offset_linear', train)).astype(jnp.float32)
         return semantic_scores, pt_offsets, output_feats
 
-    def backbone_voxel_heads(self, feats: jax.Array, pyramid: Pyramid,
+    def backbone_voxel_heads(self, x: jax.Array, pyramid: Pyramid,
                              train: bool):
         """SoftGroup++ lvl_fusion: keep voxel-level outputs, skip devoxelize
         (`softgroup.py:309-312,373-374`)."""
         lv0 = pyramid.levels[0]
-        x = voxel_features(feats, pyramid.p2v, lv0.vox_valid.shape[0])
         if self.bf16:
             x = x.astype(jnp.bfloat16)
         x = self.input_conv(x, lv0.subm_rules)
@@ -180,14 +182,23 @@ class SoftGroupNet(nn.Module):
         # used for parameter initialization of the backbone path
         return self.backbone(feats, pyramid, train)
 
+    def _input_voxels(self, batch: SceneBatch, cfg):
+        """Voxel-level network input: host-precomputed when available,
+        device segment mean otherwise (hand-built batches)."""
+        if batch.vox_in is not None:
+            return batch.vox_in
+        feats = batch.feats
+        if cfg.with_coords:
+            feats = jnp.concatenate([feats, batch.coords_float], axis=1)
+        v0 = batch.pyramid.levels[0].vox_valid.shape[0]
+        return voxel_features(feats, batch.pyramid.p2v, v0)
+
     def loss_forward(self, batch: SceneBatch, cfg, caps: Capacities,
                      rng: jax.Array):
         """Full training forward -> (total_loss, log_vars)
         (`forward_train`, softgroup.py:112-150)."""
-        feats = batch.feats
-        if cfg.with_coords:
-            feats = jnp.concatenate([feats, batch.coords_float], axis=1)
-        sem, off, outf = self.backbone(feats, batch.pyramid, train=True)
+        sem, off, outf = self.backbone(self._input_voxels(batch, cfg),
+                                       batch.pyramid, train=True)
         losses = point_wise_loss(sem, off, batch.semantic_labels,
                                  batch.instance_labels, batch.pt_offset_labels,
                                  batch.pyramid.point_valid, cfg)
@@ -218,11 +229,8 @@ class SoftGroupNet(nn.Module):
         from ..ops.voxelize import voxel_features
         lv0 = batch.pyramid.levels[0]
         v0 = lv0.vox_valid.shape[0]
-        feats = batch.feats
-        if cfg.with_coords:
-            feats = jnp.concatenate([feats, batch.coords_float], axis=1)
         sem_v, off_v, outf_v = self.backbone_voxel_heads(
-            feats, batch.pyramid, train=False)
+            self._input_voxels(batch, cfg), batch.pyramid, train=False)
         p2v = batch.pyramid.p2v
         sem_pt = sem_v[jnp.clip(p2v, 0, v0 - 1)]
         out = dict(semantic_scores=sem_pt,
@@ -252,10 +260,8 @@ class SoftGroupNet(nn.Module):
         """Device part of inference (`forward_test`, softgroup.py:299-361);
         host-side instance extraction / panoptic fusion live in
         evaluation/postprocess.py."""
-        feats = batch.feats
-        if cfg.with_coords:
-            feats = jnp.concatenate([feats, batch.coords_float], axis=1)
-        sem, off, outf = self.backbone(feats, batch.pyramid, train=False)
+        sem, off, outf = self.backbone(self._input_voxels(batch, cfg),
+                                       batch.pyramid, train=False)
         semantic_preds = jnp.argmax(sem, axis=1)
         out = dict(semantic_scores=sem, pt_offsets=off,
                    semantic_preds=semantic_preds)

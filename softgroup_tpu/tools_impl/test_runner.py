@@ -85,7 +85,8 @@ class InferenceRunner:
             data['pt_offset_labels'], data['instance_pointnum'],
             data['instance_cls'], data['spatial_shape'], caps,
             self.num_levels, self.cfg.ignore_label,
-            batch_idxs=data.get('grouping_batch_idxs'))
+            batch_idxs=data.get('grouping_batch_idxs'),
+            with_coords=getattr(self.cfg, 'with_coords', True))
         return batch, caps
 
     def run_scene(self, data: dict) -> dict:

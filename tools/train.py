@@ -63,14 +63,14 @@ def caps_from_cfg(cfg) -> Capacities:
                       grouping_cells=c.get('grouping_cells', 65536))
 
 
-def make_post(caps, num_levels, ignore_label):
+def make_post(caps, num_levels, ignore_label, with_coords=True):
     def post(batch):
         return batch['scan_ids'], build_scene_batch(
             batch['coords'], batch['coords_float'], batch['feats'],
             batch['semantic_labels'], batch['instance_labels'],
             batch['pt_offset_labels'], batch['instance_pointnum'],
             batch['instance_cls'], batch['spatial_shape'], caps, num_levels,
-            ignore_label)
+            ignore_label, with_coords=with_coords)
     return post
 
 
@@ -101,7 +101,8 @@ def main():
     net = build_net(cfg)
 
     train_set = build_dataset(cfg.data.train, logger)
-    post = make_post(caps, num_levels, cfg.model.ignore_label)
+    post = make_post(caps, num_levels, cfg.model.ignore_label,
+                     cfg.model.get('with_coords', True))
     n_dev = args.num_devices or jax.device_count()
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     train_loader = build_dataloader(
