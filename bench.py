@@ -30,7 +30,7 @@ def main():
     caps = Capacities(
         points=262144,
         voxels=(196608, 98304, 32768, 8192, 2048, 1024, 512),
-        grouping_points=524288, proposals=256, proposal_entries=262144,
+        grouping_points=393216, proposals=256, proposal_entries=262144,
         instances=128, inst_voxels=(65536, 16384), grouping_cells=16384)
     net, variables, cfg, caps, batch = ge._build(
         channels=32, num_blocks=7, n_points=250000, caps=caps)

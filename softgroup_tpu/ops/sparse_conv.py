@@ -28,8 +28,8 @@ import jax.numpy as jnp
 # gather moves a full (16, 128) tile per row AND serializes badly in fused
 # programs, so the kernel wins at every U-Net width; XLA remains the
 # portable fallback (CPU tests) and the autodiff implementation.
-_KERNEL_MAX_CHANNELS = 64
-_KERNEL_MIN_VOXELS = 4096
+_KERNEL_MAX_CHANNELS = 96
+_KERNEL_MIN_VOXELS = 16384
 _KERNEL_B = 128
 _KERNEL_W = 384
 
