@@ -75,6 +75,10 @@ def window_rules(rules: jax.Array, group_of_tap: np.ndarray, n_groups: int,
     local = rb - ws_tap[:, :, None]
     local = jnp.where(rb < 0, -1, local)
     n_overflow = jnp.sum(local >= w)
+    # last row: per-block any-valid flag — the kernel skips compute and DMA
+    # for blocks that are pure capacity padding (up to ~30% at some levels)
+    blk_valid = (rb >= 0).any(axis=(0, 2)).astype(jnp.int32)[None, :]
+    starts = jnp.concatenate([starts, blk_valid], axis=0)
     return local.reshape(k, v_out), starts, n_overflow
 
 
@@ -89,13 +93,15 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
     nxt = jax.lax.rem(blk + 1, 2)
 
     def start_dmas(slot_i, blk_i):
-        for g in range(n_groups):
-            start = pl.multiple_of(ws_ref[g, blk_i] * 16, 16)
-            pltpu.make_async_copy(
-                feats_ref.at[pl.ds(start, w)],
-                win.at[slot_i, g],
-                sems.at[slot_i, g],
-            ).start()
+        @pl.when(ws_ref[n_groups, blk_i] > 0)
+        def _():
+            for g in range(n_groups):
+                start = pl.multiple_of(ws_ref[g, blk_i] * 16, 16)
+                pltpu.make_async_copy(
+                    feats_ref.at[pl.ds(start, w)],
+                    win.at[slot_i, g],
+                    sems.at[slot_i, g],
+                ).start()
 
     @pl.when(blk == 0)
     def _():
@@ -105,27 +111,33 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
     def _():
         start_dmas(nxt, blk + 1)
 
-    for g in range(n_groups):
-        start = pl.multiple_of(ws_ref[g, blk] * 16, 16)
-        pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
-                              win.at[slot, g], sems.at[slot, g]).wait()
+    @pl.when(ws_ref[n_groups, blk] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    cd = jnp.bfloat16
-    for g in range(n_groups):
-        u[g] = jax.lax.dot(
-            win[slot, g].astype(cd), wstack_ref[g].astype(cd),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32).astype(cd)
+    @pl.when(ws_ref[n_groups, blk] > 0)
+    def _():
+        for g in range(n_groups):
+            start = pl.multiple_of(ws_ref[g, blk] * 16, 16)
+            pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
+                                  win.at[slot, g], sems.at[slot, g]).wait()
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-    acc = jnp.zeros((b, cout), jnp.float32)
-    for t in range(k):
-        g, p = t // tpg, t % tpg
-        oh = (rules_ref[t][:, None] == iota).astype(cd)
-        acc += jax.lax.dot(oh, u[g, :, p * cout:(p + 1) * cout],
-                           precision=jax.lax.Precision.DEFAULT,
-                           preferred_element_type=jnp.float32)
-    out_ref[:] = acc.astype(out_ref.dtype)
+        cd = jnp.bfloat16
+        for g in range(n_groups):
+            u[g] = jax.lax.dot(
+                win[slot, g].astype(cd), wstack_ref[g].astype(cd),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32).astype(cd)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        acc = jnp.zeros((b, cout), jnp.float32)
+        for t in range(k):
+            g, p = t // tpg, t % tpg
+            oh = (rules_ref[t][:, None] == iota).astype(cd)
+            acc += jax.lax.dot(oh, u[g, :, p * cout:(p + 1) * cout],
+                               precision=jax.lax.Precision.DEFAULT,
+                               preferred_element_type=jnp.float32)
+        out_ref[:] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('group_of_tap', 'n_groups',
@@ -268,14 +280,16 @@ def _keyed_kernel(ws_ref, blk_keys_ref, wstack_ref, feats_ref, keys_ref,
     nxt = jax.lax.rem(blk + 1, 2)
 
     def start_dmas(slot_i, blk_i):
-        for g in range(n_groups):
-            start = pl.multiple_of(ws_ref[g, blk_i] * 128, 128)
-            pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
-                                  win.at[slot_i, g],
-                                  sems.at[slot_i, g, 0]).start()
-            pltpu.make_async_copy(keys_ref.at[:, pl.ds(start, w)],
-                                  wink.at[slot_i, g],
-                                  sems.at[slot_i, g, 1]).start()
+        @pl.when(ws_ref[n_groups, blk_i] > 0)
+        def _():
+            for g in range(n_groups):
+                start = pl.multiple_of(ws_ref[g, blk_i] * 128, 128)
+                pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
+                                      win.at[slot_i, g],
+                                      sems.at[slot_i, g, 0]).start()
+                pltpu.make_async_copy(keys_ref.at[:, pl.ds(start, w)],
+                                      wink.at[slot_i, g],
+                                      sems.at[slot_i, g, 1]).start()
 
     @pl.when(blk == 0)
     def _():
@@ -285,49 +299,55 @@ def _keyed_kernel(ws_ref, blk_keys_ref, wstack_ref, feats_ref, keys_ref,
     def _():
         start_dmas(nxt, blk + 1)
 
-    for g in range(n_groups):
-        start = pl.multiple_of(ws_ref[g, blk] * 128, 128)
-        pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
-                              win.at[slot, g], sems.at[slot, g, 0]).wait()
-        pltpu.make_async_copy(keys_ref.at[:, pl.ds(start, w)],
-                              wink.at[slot, g], sems.at[slot, g, 1]).wait()
+    @pl.when(ws_ref[n_groups, blk] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    cd = jnp.bfloat16
-    for g in range(n_groups):
-        u[g] = jax.lax.dot(
-            win[slot, g].astype(cd), wstack_ref[g].astype(cd),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32).astype(cd)
+    @pl.when(ws_ref[n_groups, blk] > 0)
+    def _():
+        for g in range(n_groups):
+            start = pl.multiple_of(ws_ref[g, blk] * 128, 128)
+            pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
+                                  win.at[slot, g], sems.at[slot, g, 0]).wait()
+            pltpu.make_async_copy(keys_ref.at[:, pl.ds(start, w)],
+                                  wink.at[slot, g], sems.at[slot, g, 1]).wait()
 
-    key = blk_keys_ref[0]                          # (B,)
-    valid = key >= 0
-    d2, d3 = d * d, d * d * d
-    zc = jax.lax.rem(key, d)
-    yc = jax.lax.rem(jax.lax.div(key, d), d)
-    xc = jax.lax.rem(jax.lax.div(key, d2), d)
-    bc = jax.lax.div(key, d3)
-    acc = jnp.zeros((b, cout), jnp.float32)
-    k = len(offsets)
-    for t in range(k):
-        dx, dy, dz = offsets[t]
-        g = group_of_tap[t]
-        if strided:
-            # output key is on the COARSE grid; child = 2*coord + tap offset
-            q = ((bc * (2 * d) + 2 * xc + dx) * (2 * d)
-                 + 2 * yc + dy) * (2 * d) + 2 * zc + dz
-            ok = valid
-        else:
-            q = key + dx * d2 + dy * d + dz
-            ok = valid & (xc + dx >= 0) & (xc + dx < d) \
-                & (yc + dy >= 0) & (yc + dy < d) \
-                & (zc + dz >= 0) & (zc + dz < d)
-        q = jnp.where(ok, q, -1)
-        oh = (q[:, None] == wink[slot, g]).astype(cd)   # (B, W)
-        p = t % tpg
-        acc += jax.lax.dot(oh, u[g, :, p * cout:(p + 1) * cout],
-                           precision=jax.lax.Precision.DEFAULT,
-                           preferred_element_type=jnp.float32)
-    out_ref[:] = acc.astype(out_ref.dtype)
+        cd = jnp.bfloat16
+        for g in range(n_groups):
+            u[g] = jax.lax.dot(
+                win[slot, g].astype(cd), wstack_ref[g].astype(cd),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32).astype(cd)
+
+        key = blk_keys_ref[0]                          # (B,)
+        valid = key >= 0
+        d2, d3 = d * d, d * d * d
+        zc = jax.lax.rem(key, d)
+        yc = jax.lax.rem(jax.lax.div(key, d), d)
+        xc = jax.lax.rem(jax.lax.div(key, d2), d)
+        bc = jax.lax.div(key, d3)
+        acc = jnp.zeros((b, cout), jnp.float32)
+        k = len(offsets)
+        for t in range(k):
+            dx, dy, dz = offsets[t]
+            g = group_of_tap[t]
+            if strided:
+                # output key on the COARSE grid; child = 2*coord + tap offset
+                q = ((bc * (2 * d) + 2 * xc + dx) * (2 * d)
+                     + 2 * yc + dy) * (2 * d) + 2 * zc + dz
+                ok = valid
+            else:
+                q = key + dx * d2 + dy * d + dz
+                ok = valid & (xc + dx >= 0) & (xc + dx < d) \
+                    & (yc + dy >= 0) & (yc + dy < d) \
+                    & (zc + dz >= 0) & (zc + dz < d)
+            q = jnp.where(ok, q, -1)
+            oh = (q[:, None] == wink[slot, g]).astype(cd)   # (B, W)
+            p = t % tpg
+            acc += jax.lax.dot(oh, u[g, :, p * cout:(p + 1) * cout],
+                               precision=jax.lax.Precision.DEFAULT,
+                               preferred_element_type=jnp.float32)
+        out_ref[:] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -393,6 +413,8 @@ def keyed_windowed_conv(feats, wstack, out_keys, in_keys, spatial_shape,
     pos = jnp.searchsorted(in_sorted, q, side='left', method='sort') \
         .astype(jnp.int32).reshape(nb, n_groups)
     starts = (jnp.clip(pos, 0, max(v_in - w, 0)) // 128).T  # (n_groups, nb)
+    blk_valid = (blk_first < jnp.int32(2 ** 30)).astype(jnp.int32)[None, :]
+    starts = jnp.concatenate([starts, blk_valid], axis=0)
 
     keys2d = in_sorted[None, :]                        # (1, V_in)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -540,10 +562,13 @@ def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
     nxt = jax.lax.rem(blk + 1, 2)
 
     def start_dmas(slot_i, blk_i):
-        for g in range(n_groups):
-            start = pl.multiple_of(ws_ref[g, blk_i] * 16, 16)
-            pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
-                                  win.at[slot_i, g], sems.at[slot_i, g]).start()
+        @pl.when(ws_ref[n_groups, blk_i] > 0)
+        def _():
+            for g in range(n_groups):
+                start = pl.multiple_of(ws_ref[g, blk_i] * 16, 16)
+                pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
+                                      win.at[slot_i, g],
+                                      sems.at[slot_i, g]).start()
 
     @pl.when(blk == 0)
     def _():
@@ -554,25 +579,27 @@ def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
     def _():
         start_dmas(nxt, blk + 1)
 
-    for g in range(n_groups):
-        start = pl.multiple_of(ws_ref[g, blk] * 16, 16)
-        pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
-                              win.at[slot, g], sems.at[slot, g]).wait()
+    @pl.when(ws_ref[n_groups, blk] > 0)
+    def _():
+        for g in range(n_groups):
+            start = pl.multiple_of(ws_ref[g, blk] * 16, 16)
+            pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
+                                  win.at[slot, g], sems.at[slot, g]).wait()
 
-    cd = jnp.bfloat16
-    gb = g_ref[:].astype(cd)                            # (B, Cout)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-    for t in range(k):
-        g, p = t // tpg, t % tpg
-        oh = (rules_ref[t][:, None] == iota).astype(cd)
-        f_t = jax.lax.dot(oh, win[slot, g].astype(cd),
-                          precision=jax.lax.Precision.DEFAULT,
-                          preferred_element_type=jnp.float32).astype(cd)
-        dw = jax.lax.dot_general(
-            f_t, gb, dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)          # (Cin, Cout)
-        out_ref[g, :, p * cout:(p + 1) * cout] += dw
+        cd = jnp.bfloat16
+        gb = g_ref[:].astype(cd)                        # (B, Cout)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        for t in range(k):
+            g, p = t // tpg, t % tpg
+            oh = (rules_ref[t][:, None] == iota).astype(cd)
+            f_t = jax.lax.dot(oh, win[slot, g].astype(cd),
+                              precision=jax.lax.Precision.DEFAULT,
+                              preferred_element_type=jnp.float32).astype(cd)
+            dw = jax.lax.dot_general(
+                f_t, gb, dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)      # (Cin, Cout)
+            out_ref[g, :, p * cout:(p + 1) * cout] += dw
 
 
 @functools.partial(jax.jit, static_argnames=('group_of_tap', 'n_groups',
