@@ -1,0 +1,81 @@
+"""SPMD data parallelism: mesh train step on the 8-virtual-CPU-device mesh.
+
+The reference's only parallelism is DDP data parallelism (SURVEY §2.3);
+our equivalent is one jitted shard_map step with lax.pmean'd grads."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _tiny(n_devices):
+    import optax
+
+    import __graft_entry__ as ge
+    from softgroup_tpu.model.softgroup import Capacities
+    from softgroup_tpu.parallel.mesh import (TrainState, make_mesh,
+                                             make_train_step, shard_batch,
+                                             stack_batches)
+    caps = Capacities(points=2048, voxels=(1024, 1024, 1024),
+                      grouping_points=2048, proposals=8,
+                      proposal_entries=2048, instances=16,
+                      inst_voxels=(1024, 256), grouping_cells=1024)
+    net, variables, cfg, caps, batch = ge._build(
+        channels=4, num_blocks=3, n_points=700, caps=caps)
+    tx = optax.sgd(1e-2)
+    state = TrainState(params=variables['params'],
+                       batch_stats=variables['batch_stats'],
+                       opt_state=tx.init(variables['params']),
+                       step=jnp.zeros((), jnp.int32))
+    return net, cfg, caps, tx, state, batch, make_mesh, make_train_step, \
+        stack_batches, shard_batch
+
+
+class TestMeshStep:
+
+    def test_mesh_matches_single_device(self):
+        """pmean of grads over identical per-device batches == single-device
+        grads, so one step from the same state must give identical params."""
+        (net, cfg, caps, tx, state, batch, make_mesh, make_train_step,
+         stack_batches, shard_batch) = _tiny(4)
+
+        # the mesh step folds the device index into the rng, so the exact
+        # reference is the mean over per-device single-chip losses with the
+        # same folded keys
+        key = jax.random.PRNGKey(0)
+        step1 = make_train_step(net, cfg, caps, tx, mesh=None)
+        losses = []
+        for i in range(4):
+            # the step donates its input state; pass a fresh copy each time
+            s_copy = jax.tree.map(jnp.array, state)
+            _, logs_i = step1(s_copy, batch, jax.random.fold_in(key, i))
+            losses.append(float(logs_i['loss']))
+        state = jax.tree.map(jnp.array, state)
+
+        mesh = make_mesh(4)
+        assert mesh.devices.size == 4
+        stepn = make_train_step(net, cfg, caps, tx, mesh=mesh)
+        stacked = shard_batch(stack_batches([batch] * 4), mesh)
+        sn, logsn = stepn(state, stacked, key)
+        np.testing.assert_allclose(float(logsn['loss']),
+                                   float(np.mean(losses)), rtol=1e-4)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(sn.params))
+
+    def test_mesh_requires_devices(self):
+        from softgroup_tpu.parallel.mesh import make_mesh
+        with pytest.raises(ValueError):
+            make_mesh(4096)
+
+    def test_collect_results(self):
+        from softgroup_tpu.parallel.mesh import collect_results
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            parts = [[{'id': 0}, {'id': 2}], [{'id': 1}, {'id': 3}]]
+            # rank 1 writes first (sequential calls stand in for the
+            # cross-host barrier)
+            collect_results(parts[1], 1, 2, gather_dir=td)
+            merged = collect_results(parts[0], 0, 2, gather_dir=td) or []
+            assert sorted(d['id'] for d in merged) == [0, 1, 2, 3]
