@@ -370,9 +370,12 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
     else:
         from ..ops.grouping import cell_cluster
         cell_scale = float(getattr_or(cfg.grouping_cfg, 'cell_scale', 1.0))
+        # pair_keys=False is a config opt-in for bounded scenes (ScanNet)
+        # where the single-int32 linear key provably cannot overflow
         labels, cell_of, clab, cnt = cell_cluster(
             shifted, group, valid_e, radius_j, cell_scale=cell_scale,
-            m_cap=m)
+            m_cap=m, pair_keys=bool(getattr_or(cfg.grouping_cfg,
+                                               'pair_keys', True)))
         # component sizes + class-size threshold (bfs_cluster.cpp:70-78):
         # accumulated at cell granularity (labels live in cell-index space)
         sizes = jnp.zeros((m + 1,), jnp.float32).at[

@@ -7,11 +7,12 @@ host* BFS over the adjacency (`bfs_cluster.cpp:33-126`, forced `.cpu()` sync
 at `softgroup/model/softgroup.py:458`) — with a single jittable routine:
 
   1. bucket points into a uniform grid of cell size = radius, with the
-     group id (batch item x semantic class) folded into a *linear* int32
-     cell key: key = ((g*dx + cx)*dy + cy)*dz + cz.  Linearity makes every
-     neighbour-cell lookup `searchsorted(keys, key + constant_delta)` — one
-     argsort total, no hash joins (the reference needs a hash or O(n^2) scan
-     here; XLA sort + binary search is the TPU-shaped equivalent).
+     group id (batch item x semantic class) folded into a pair-int32 cell
+     key (hi = g*dimx + cx, lo = cy*dimz + cz — TPU has no native int64 and
+     a single int32 overflows at S3DIS scale).  Linearity per component
+     makes every neighbour-cell lookup one batched sort join over
+     (key + constant_delta) pairs — no hash tables (the reference needs a
+     hash or O(n^2) scan here; XLA sort is the TPU-shaped equivalent).
   2. build a fixed-capacity per-point candidate list from the 27
      neighbouring cells (rank-window within the own cell, head-of-cell
      elsewhere), each candidate distance-verified against the exact radius;
@@ -28,9 +29,6 @@ cap with nondeterministic atomicAdd ordering; label propagation only needs
 *some* connecting path, so dense blobs (the common case after offset
 shifting) are insensitive to the cap.
 
-Range note: the linear key needs g_max * dx * dy * dz < 2^31.  With cell
-size = radius this holds for every reference workload (worst case S3DIS:
-~30 m / 0.04 -> 750^3 * 4 ~ 1.7e9); guarded by a debug-mode check upstream.
 """
 
 from __future__ import annotations
@@ -55,7 +53,7 @@ def _offsets(reach: int) -> np.ndarray:
 
 def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
                  radius, cell_scale: float = 0.5, max_rounds: int = 96,
-                 m_cap: int | None = None):
+                 m_cap: int | None = None, pair_keys: bool = True):
     """Connected components via grid-cell contraction — the production
     grouping path.
 
@@ -70,12 +68,19 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     build avoids them): ONE multi-operand sort carries entry payloads with
     the keys, per-cell tables come from top_k prefix compaction + cumsum
     diffs over the sorted order, all neighbour offsets resolve through ONE
-    batched searchsorted, and the propagation rounds are pure gathers over a
-    (cells, n_off) table — costs scale with the cell cap m, not with N.
+    batched pair-key sort join, and the propagation rounds are pure gathers
+    over a (cells, n_off) table — costs scale with the cell cap m, not N.
 
     cell_scale: 1.0 = 26 neighbour offsets (production default via config —
     matches the reference pyramid's centroid query at base_size = radius);
     0.5 = 124 offsets, finer contraction (the r/2 pyramid ratio).
+
+    pair_keys: True (safe default) uses pair-int32 keys — required when
+    n_groups * grid_cells can exceed 2^31 (S3DIS-scale scenes).  False uses
+    a single int32 linear key (one fewer sort operand, searchsorted join
+    instead of a pair sort join — ~15% faster grouping); only legal when
+    the config's scene extent provably fits (ScanNet: 20 classes x ~260^3
+    cells ~ 3.5e8).
 
     Returns (labels, cell_of, cell_count): labels (N,) int32 cluster id per
     entry (-1 invalid) in *cell-index space*, cell_of (N,) int32 entry->cell,
@@ -90,22 +95,38 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     cell = jnp.floor((shifted - mn[None, :]) / s).astype(jnp.int32)
     cell = jnp.maximum(cell, 0)
     dims = jnp.max(jnp.where(valid[:, None], cell, 0), axis=0) + 2
-    dy, dz = dims[1], dims[2]
-    key = (((group.astype(jnp.int32) * dims[0] + cell[:, 0]) * dy
-            + cell[:, 1]) * dz + cell[:, 2])
-    key = jnp.where(valid, key, _INT_MAX)
+    # pair-int32 key (TPU has no native int64): hi = group*dimx + cx,
+    # lo = cy*dimz + cz — supports S3DIS-scale extents where a single int32
+    # linear key would overflow (13 classes x 750^3 cells ~ 5.5e9 > 2^31)
+    if pair_keys:
+        hi = group.astype(jnp.int32) * dims[0] + cell[:, 0]
+        lo = cell[:, 1] * dims[2] + cell[:, 2]
+    else:
+        hi = jnp.zeros_like(group, jnp.int32)
+        lo = (((group.astype(jnp.int32) * dims[0] + cell[:, 0]) * dims[1]
+               + cell[:, 1]) * dims[2] + cell[:, 2])
+    hi = jnp.where(valid, hi, _INT_MAX)
+    lo = jnp.where(valid, lo, _INT_MAX)
 
     m = m_cap or n  # contracted-cell capacity (cells << entries in practice;
     # overflow cells beyond the cap are dropped deterministically)
 
     idxs = jnp.arange(n, dtype=jnp.int32)
-    # one sort carries the entry index and coords with the key
-    key_s, order, xs, ys, zs = jax.lax.sort(
-        (key, idxs, shifted[:, 0], shifted[:, 1], shifted[:, 2]),
-        num_keys=1)
-    valid_s = key_s != _INT_MAX
-    prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
-    first = valid_s & (key_s != prev)
+    # one sort carries the entry index and coords with the key (pair keys:
+    # two leading operands; single: just lo)
+    if pair_keys:
+        hi_s, lo_s, order, xs, ys, zs = jax.lax.sort(
+            (hi, lo, idxs, shifted[:, 0], shifted[:, 1], shifted[:, 2]),
+            num_keys=2)
+    else:
+        lo_s, order, xs, ys, zs = jax.lax.sort(
+            (lo, idxs, shifted[:, 0], shifted[:, 1], shifted[:, 2]),
+            num_keys=1)
+        hi_s = jnp.where(lo_s != _INT_MAX, 0, _INT_MAX)
+    valid_s = lo_s != _INT_MAX
+    prev_hi = jnp.concatenate([jnp.full((1,), -1, jnp.int32), hi_s[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lo_s[:-1]])
+    first = valid_s & ((hi_s != prev_hi) | (lo_s != prev_lo))
     cid_s = jnp.cumsum(first.astype(jnp.int32)) - 1      # cell id, sorted
     n_cells = jnp.maximum(cid_s[-1] + 1, 0)
     n_valid = valid_s.sum()
@@ -122,7 +143,8 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
             [fp, jnp.full((m - k_top,), _INT_MAX, jnp.int32)])
     cell_valid = (fp < n) & (jnp.arange(m) < jnp.minimum(n_cells, m))
     fpc = jnp.minimum(fp, n - 1)
-    ckey = jnp.where(cell_valid, key_s[fpc], _INT_MAX)
+    chi = jnp.where(cell_valid, hi_s[fpc], _INT_MAX)
+    clo = jnp.where(cell_valid, lo_s[fpc], _INT_MAX)
     lp = jnp.concatenate([fpc[1:], jnp.full((1,), 0, jnp.int32)])
     lp = jnp.where(jnp.arange(m) == jnp.minimum(n_cells, m) - 1,
                    n_valid, jnp.where(cell_valid, lp, 1)) - 1
@@ -136,25 +158,34 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
         (jnp.stack([xs, ys, zs], 1)[fpc] - mn[None, :]) / s).astype(jnp.int32)
     ccoord = jnp.maximum(ccoord, 0)
 
-    # neighbour candidate cells via linear-key binary search (ckey is sorted
-    # because cells were discovered in sorted-key order).  All offsets go
-    # through ONE batched searchsorted — separate calls each pay a full
-    # log(n)-step loop on TPU.
+    # neighbour candidate cells: all offsets resolved through ONE pair-key
+    # sort join (keys.lookup); deltas never carry across the hi/lo split
+    # because out-of-range offsets are masked first
+    from . import keys as K
     in_lo = ccoord
     in_hi = dims[None, :] - 1 - ccoord  # slack to the upper bound
     offs_np = _offsets(reach)
     n_off = len(offs_np)
     offs = jnp.asarray(offs_np)                          # (n_off, 3)
-    deltas = (offs[:, 0] * dy * dz + offs[:, 1] * dz + offs[:, 2])
+    d_hi = offs[:, 0]
+    d_lo = offs[:, 1] * dims[2] + offs[:, 2]
     ok = cell_valid[None, :] \
         & (offs[:, :, None] + in_lo.T[None] >= 0).all(axis=1) \
         & (offs[:, :, None] <= in_hi.T[None]).all(axis=1)
-    q = jnp.where(ok, ckey[None, :] + deltas[:, None], _INT_MAX)
-    pos = jnp.searchsorted(ckey, q.reshape(-1), side='left', method='sort') \
-        .astype(jnp.int32).reshape(n_off, m)
-    pc = jnp.clip(pos, 0, m - 1)
-    hit = ok & (pos < m) & (ckey[pc] == q)
-    cand = jnp.where(hit, pc, -1).T                      # (m, n_off)
+    if pair_keys:
+        q_hi = jnp.where(ok, chi[None, :] + d_hi[:, None], _INT_MAX)
+        q_lo = jnp.where(ok, clo[None, :] + d_lo[:, None], _INT_MAX)
+        cand = K.lookup(q_hi.reshape(-1), q_lo.reshape(-1), chi, clo,
+                        cell_valid).reshape(n_off, m).T   # (m, n_off)
+    else:
+        d_lin = (d_hi * dims[1] + offs[:, 1]) * dims[2] + offs[:, 2]
+        q = jnp.where(ok, clo[None, :] + d_lin[:, None], _INT_MAX)
+        pos = jnp.searchsorted(clo, q.reshape(-1), side='left',
+                               method='sort') \
+            .astype(jnp.int32).reshape(n_off, m)
+        pc = jnp.clip(pos, 0, m - 1)
+        hit = ok & (pos < m) & (clo[pc] == q)
+        cand = jnp.where(hit, pc, -1).T                   # (m, n_off)
     # centroid distance gate (the radius semantics of the pyramid query)
     cc = jnp.clip(cand, 0, m - 1)
     d2 = jnp.sum(jnp.square(centroid[:, None, :] - centroid[cc]), axis=-1)
@@ -206,17 +237,23 @@ def ball_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     cell = jnp.floor((shifted - mn[None, :]) / radius).astype(jnp.int32)
     cell = jnp.maximum(cell, 0)
     dims = jnp.max(jnp.where(valid[:, None], cell, 0), axis=0) + 2
-    dx, dy, dz = dims[0], dims[1], dims[2]
-    key = (((group.astype(jnp.int32) * dx + cell[:, 0]) * dy + cell[:, 1])
-           * dz + cell[:, 2])
-    key = jnp.where(valid, key, _INT_MAX)
+    # pair-int32 keys (no int64 on TPU; see cell_cluster)
+    hi = group.astype(jnp.int32) * dims[0] + cell[:, 0]
+    lo = cell[:, 1] * dims[2] + cell[:, 2]
+    hi = jnp.where(valid, hi, _INT_MAX)
+    lo = jnp.where(valid, lo, _INT_MAX)
 
-    order = jnp.argsort(key)                 # sorted position -> point
-    key_s = key[order]
+    hi_s, lo_s, order = jax.lax.sort((hi, lo, idxs), num_keys=2)
     pos_in_sorted = jnp.zeros((n,), jnp.int32).at[order].set(idxs)
 
-    # run (cell) start per point via binary search on the sorted keys
-    my_start = jnp.searchsorted(key_s, key, side='left', method='sort').astype(jnp.int32)
+    # run (cell) start per sorted position via cumulative max over firsts
+    valid_s = hi_s != _INT_MAX
+    prev_hi = jnp.concatenate([jnp.full((1,), -1, jnp.int32), hi_s[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lo_s[:-1]])
+    first = valid_s & ((hi_s != prev_hi) | (lo_s != prev_lo))
+    run_start_sorted = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idxs, -1))
+    my_start = run_start_sorted[pos_in_sorted]
 
     # --- candidate list ----------------------------------------------------
     cands = []
@@ -227,21 +264,28 @@ def ball_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
         ok = valid & (p >= my_start)
         cands.append(jnp.where(ok, order[jnp.clip(p, 0, n - 1)], -1))
     # (b) neighbour cells: first `neighbors_per_cell` entries of each of the
-    # 26 adjacent cells; one batched searchsorted resolves all offsets.
+    # 26 adjacent cells; one batched pair-key sort join resolves all offsets
+    # to the run-start position of the neighbouring cell.
+    from . import keys as K
     in_lo = cell > 0
     in_hi = (cell + 1) < dims[None, :]
     offs = jnp.asarray(CELL_OFFSETS)
-    deltas = offs[:, 0] * dy * dz + offs[:, 1] * dz + offs[:, 2]
+    d_hi = offs[:, 0]
+    d_lo = offs[:, 1] * dims[2] + offs[:, 2]
     ok_axis = valid[None, :] \
         & jnp.where(offs[:, :, None] < 0, in_lo.T[None], True).all(axis=1) \
         & jnp.where(offs[:, :, None] > 0, in_hi.T[None], True).all(axis=1)
-    qkey = key[None, :] + deltas[:, None]                    # (26, N)
-    start = jnp.searchsorted(key_s, qkey.reshape(-1), side='left', method='sort') \
-        .astype(jnp.int32).reshape(26, n)
+    q_hi = jnp.where(ok_axis, hi[None, :] + d_hi[:, None], _INT_MAX)
+    q_lo = jnp.where(ok_axis, lo[None, :] + d_lo[:, None], _INT_MAX)
+    # table: one row per cell run start (unique keys among firsts)
+    t_hi = jnp.where(first, hi_s, _INT_MAX)
+    t_lo = jnp.where(first, lo_s, _INT_MAX)
+    hit_row = K.lookup(q_hi.reshape(-1), q_lo.reshape(-1), t_hi, t_lo) \
+        .reshape(26, n)
     for j in range(neighbors_per_cell):
-        p = start + j
+        p = jnp.where(hit_row >= 0, hit_row + j, n)
         pc = jnp.clip(p, 0, n - 1)
-        ok = ok_axis & (p < n) & (key_s[pc] == qkey)
+        ok = ok_axis & (p < n) & (hi_s[pc] == q_hi) & (lo_s[pc] == q_lo)
         cands.append(jnp.where(ok, order[pc], -1).reshape(-1))
     own = jnp.stack(cands[:own_window], axis=1)              # (N, W)
     nb = jnp.stack(cands[own_window:], 0).reshape(-1, n)     # (26*J, N)

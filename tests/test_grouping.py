@@ -128,6 +128,17 @@ class TestCellCluster:
         assert {got[i] for i in range(30)}.isdisjoint(
             {got[i] for i in range(30, 60)})
 
+    def test_single_key_mode_matches_pair(self, rng):
+        # pair_keys=False (bounded-scene fast path) must produce the same
+        # partition as the safe pair-key default
+        centers = np.array([[0, 0, 0], [1.0, 0, 0], [0, 1.0, 0]])
+        pts = np.concatenate(
+            [c + rng.randn(50, 3) * 0.01 for c in centers]).astype(np.float32)
+        batch = np.zeros(len(pts), np.int32)
+        a = canon(self.run(pts, batch, 0.05, pair_keys=True))
+        b = canon(self.run(pts, batch, 0.05, pair_keys=False))
+        assert a == b
+
     def test_chain_merges(self):
         m = 60
         pts = np.zeros((m, 3), np.float32)
