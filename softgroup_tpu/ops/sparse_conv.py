@@ -34,12 +34,25 @@ _KERNEL_B = 128
 _KERNEL_W = 384
 
 
+def _kernel_bw(v_out: int) -> tuple[int, int]:
+    """(block_b, window_w) by output size, from a measured sweep
+    (`tools/sweep_convbw.py`, ScanNet-scale rulebooks): big levels run
+    fastest at B=256/W=384, smaller ones at B=128/W=256.  The one-hot
+    matmul cost per output row is 27*W*Cout, so tighter windows are a
+    direct FLOP cut; the overflow-drop rate stays < 0.04% of taps
+    (same order as the reference's nondeterministic ball-query cap)."""
+    if v_out >= 131072:
+        return 256, 384
+    return 128, 256
+
+
 def _kernel_ok(v_out: int, v_in: int, cout: int) -> bool:
+    b, w = _kernel_bw(v_out)
     return (jax.default_backend() == 'tpu'
             and cout <= _KERNEL_MAX_CHANNELS
-            and v_out % _KERNEL_B == 0
+            and v_out % b == 0
             and v_out >= _KERNEL_MIN_VOXELS
-            and v_in >= _KERNEL_W)
+            and v_in >= w)
 
 
 def _gather_padded(feats: jax.Array, idx: jax.Array) -> jax.Array:
@@ -115,7 +128,8 @@ def _subm_vjp(feats, weight, rules):
     """
     if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
         from .conv_kernel import subm_conv_windowed
-        return subm_conv_windowed(feats, weight, rules, _KERNEL_B, _KERNEL_W)
+        b, w = _kernel_bw(rules.shape[1])
+        return subm_conv_windowed(feats, weight, rules, b, w)
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 

@@ -93,13 +93,13 @@ def make_train_step(net, cfg, caps, tx, mesh: Mesh | None = None):
         return loss, logs, new_bs, grads
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         @functools.partial(
             shard_map, mesh=mesh,
             in_specs=(P('data'), P(), P(), P()),
             out_specs=(P(), P(), P(), P()),
-            check_rep=False)
+            check_vma=False)
         def sharded_grads(stacked, params, batch_stats, rng):
             local = jax.tree.map(lambda x: x[0], stacked)
             my = jax.lax.axis_index('data')

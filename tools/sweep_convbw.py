@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Sweep (block_b, window_w) for the Pallas windowed subm conv per U-Net
+level: wall time + entries dropped by window overflow (approximation cost).
+
+The one-hot matmul cost per output row is 27 * W * Cout, so a tighter
+window is a direct FLOP cut — bounded by the worst per-block input span of
+real rulebooks (measured here on synthetic ScanNet-scale scenes).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+
+from softgroup_tpu.data.synthetic import collate_scenes, make_scene
+from softgroup_tpu.ops.conv_kernel import (_SUBM_GROUPS, subm_conv_windowed,
+                                           window_rules)
+from softgroup_tpu.ops.rulebook import build_downsample_np, build_subm_rules_np
+from softgroup_tpu.ops.voxelize import voxelize_np
+
+
+def timed(f, *args, iters=30):
+    out = f(*args)
+    np.asarray(out[0, 0])
+    t0 = time.perf_counter()
+    outs = [f(*args) for _ in range(iters)]
+    np.asarray(outs[-1][0, 0])
+    return (time.perf_counter() - t0) / iters * 1000.0, out
+
+
+def main():
+    rng = np.random.RandomState(0)
+    scenes = [make_scene(rng, n_points=250000, n_instances=12)]
+    data = collate_scenes(scenes, scale=50.0)
+    vox_coords, _, _ = voxelize_np(data['coords'])
+    level_coords = [vox_coords]
+    for _ in range(3):
+        oc, _, _, _ = build_downsample_np(level_coords[-1])
+        level_coords.append(oc)
+
+    caps = {0: 196608, 1: 98304, 2: 32768, 3: 8192}
+    for lvl, c in [(0, 32), (1, 64), (2, 96)]:
+        vc = level_coords[lvl]
+        d = vc[:, 1:].max(0) + 1
+        rules_np = build_subm_rules_np(vc, d)
+        v_real = len(vc)
+        cap = caps[lvl]
+        rules = np.full((27, cap), -1, np.int32)
+        rules[:, :v_real] = rules_np[:, :cap]
+        feats = jnp.asarray(rng.randn(cap, c), jnp.bfloat16)
+        weight = jnp.asarray(rng.randn(27, c, c) * 0.05, jnp.float32)
+        rules_j = jnp.asarray(rules)
+        n_valid = int((rules >= 0).sum())
+
+        print(f'level {lvl}: V_real={v_real} cap={cap} C={c} '
+              f'valid taps={n_valid}')
+        for b, w in [(128, 384), (128, 256), (128, 192), (256, 512),
+                     (256, 384), (64, 192), (64, 128)]:
+            if cap % b:
+                continue
+            _, _, n_over = window_rules(
+                rules_j, np.asarray(_SUBM_GROUPS, np.int32), 3, w, b, cap)
+            n_over = int(n_over)
+            try:
+                t, _ = timed(lambda f: subm_conv_windowed(
+                    f, weight, rules_j, b, w), feats)
+            except Exception as e:  # noqa: BLE001
+                print(f'  B={b:4d} W={w:4d}  FAILED {type(e).__name__}')
+                continue
+            print(f'  B={b:4d} W={w:4d}  {t:7.3f} ms   dropped={n_over}'
+                  f' ({n_over / max(n_valid, 1) * 100:.4f}%)')
+
+
+if __name__ == '__main__':
+    main()
