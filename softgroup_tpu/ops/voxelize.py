@@ -72,20 +72,31 @@ def voxelize_linear(coords: jax.Array, valid: jax.Array, dims: jax.Array,
            + c[:, 3])
     key = jnp.where(valid, key, imax)
     n = key.shape[0]
-    order = jnp.argsort(key)
-    key_s = key[order]
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    # one multi-operand sort carries the permutation with the key (argsort +
+    # a separate key gather is two passes)
+    key_s, order = jax.lax.sort((key, idxs), num_keys=1)
     valid_s = key_s != imax
     prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
     first = valid_s & (key_s != prev)
     uid_s = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_unique = jnp.maximum(uid_s[-1] + 1, 0)
     uid_s = jnp.where(valid_s, jnp.minimum(uid_s, capacity - 1), capacity)
-    dst = jnp.where(first, uid_s, capacity)
-    vox_coords = jnp.zeros((capacity + 1, 4), jnp.int32).at[dst].set(
-        c[order])[:capacity]
-    ckey = jnp.full((capacity + 1,), imax, jnp.int32).at[dst].set(
-        jnp.where(first, key_s, imax))[:capacity]
-    uniq_valid = jnp.arange(capacity) < jnp.minimum(n_unique, capacity)
+    # voxel table rows via top_k compaction of the first-occurrence
+    # positions (ascending — same trick as forward_grouping) + gathers;
+    # XLA's scatter alternative costs ~10 ns/row over all n entries
+    big = jnp.int32(n)
+    k_top = min(capacity, n)
+    fpos = -jax.lax.top_k(jnp.where(first, -idxs, -big), k_top)[0]
+    if k_top < capacity:
+        fpos = jnp.concatenate(
+            [fpos, jnp.full((capacity - k_top,), big, jnp.int32)])
+    uniq_valid = fpos < big
+    fpos_c = jnp.clip(fpos, 0, n - 1)
+    rep = order[fpos_c]
+    vox_coords = jnp.where(uniq_valid[:, None],
+                           c[jnp.clip(rep, 0, n - 1)], 0).astype(jnp.int32)
+    ckey = jnp.where(uniq_valid, key_s[fpos_c], imax)
     p2v = jnp.zeros((n,), jnp.int32).at[order].set(uid_s)
     p2v = jnp.where(valid, p2v, capacity)
     return Voxelized(vox_coords, uniq_valid, p2v, n_unique), ckey

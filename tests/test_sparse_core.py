@@ -113,6 +113,23 @@ class TestSegment:
                 np.testing.assert_allclose(got_min[s], rows.min(0))
                 np.testing.assert_allclose(got_max[s], rows.max(0))
 
+    def test_sorted_segment_minmax_matches_scatter_path(self, rng):
+        from softgroup_tpu.ops.segment import (segment_mean_fused,
+                                               sorted_segment_minmax)
+        for nseg, n, block in [(17, 512, 64), (1, 256, 128), (40, 1024, 128),
+                               (256, 2048, 128)]:
+            ids = np.sort(rng.randint(0, nseg + 1, size=n))  # sorted + dustbin
+            vals = rng.randn(n, 3).astype(np.float32)
+            jid, jval = jnp.asarray(ids), jnp.asarray(vals)
+            got_min, got_max = sorted_segment_minmax(jval, jid, nseg, block)
+            ref_min = np.asarray(segment_min(jval, jid, nseg))
+            ref_max = np.asarray(segment_max(jval, jid, nseg))
+            np.testing.assert_allclose(np.asarray(got_min), ref_min)
+            np.testing.assert_allclose(np.asarray(got_max), ref_max)
+            got_mean = np.asarray(segment_mean_fused(jval, jid, nseg))
+            ref_mean = np.asarray(segment_mean(jval, jid, nseg))
+            np.testing.assert_allclose(got_mean, ref_mean, rtol=1e-5)
+
     def test_offsets_to_segment_ids(self):
         offsets = jnp.array([0, 3, 3, 7], jnp.int32)
         ids = np.asarray(offsets_to_segment_ids(offsets, 9))

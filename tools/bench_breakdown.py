@@ -37,8 +37,7 @@ def main():
         channels=32, num_blocks=7, n_points=250000, caps=caps)
 
     bb = jax.jit(lambda v, b: net.apply(
-        v, b.feats if not cfg.with_coords else jnp.concatenate(
-            [b.feats, b.coords_float], axis=1),
+        v, net.apply(v, b, cfg, method=net._input_voxels),
         b.pyramid, False, method=net.backbone))
     t_bb, (sem, off, outf) = timed(bb, variables, batch)
     print(f'backbone      {t_bb:7.1f} ms')

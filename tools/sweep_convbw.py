@@ -60,20 +60,37 @@ def main():
 
         print(f'level {lvl}: V_real={v_real} cap={cap} C={c} '
               f'valid taps={n_valid}')
-        for b, w in [(128, 384), (128, 256), (128, 192), (256, 512),
-                     (256, 384), (64, 192), (64, 128)]:
-            if cap % b:
+        configs = [(b, w) for b, w in
+                   [(128, 256), (256, 384), (384, 512), (512, 640),
+                    (512, 768), (768, 1024)] if cap % b == 0]
+        best = {bw: np.inf for bw in configs}
+        drops = {}
+        # 3 interleaved passes: the tunnelled chip drifts ~2x between
+        # runs, so only per-config minima across interleaved passes are
+        # comparable
+        for rep in range(3):
+            for b, w in configs:
+                if rep == 0:
+                    _, _, n_over = window_rules(
+                        rules_j, np.asarray(_SUBM_GROUPS, np.int32), 3, w,
+                        b, cap)
+                    drops[(b, w)] = int(n_over)
+                try:
+                    t, _ = timed(lambda f: subm_conv_windowed(
+                        f, weight, rules_j, b, w), feats, iters=15)
+                except Exception as e:  # noqa: BLE001
+                    best[(b, w)] = None
+                    if rep == 0:
+                        print(f'  B={b:4d} W={w:4d}  FAILED '
+                              f'{type(e).__name__}')
+                    continue
+                best[(b, w)] = min(best[(b, w)], t)
+        for b, w in configs:
+            if best[(b, w)] is None:
                 continue
-            _, _, n_over = window_rules(
-                rules_j, np.asarray(_SUBM_GROUPS, np.int32), 3, w, b, cap)
-            n_over = int(n_over)
-            try:
-                t, _ = timed(lambda f: subm_conv_windowed(
-                    f, weight, rules_j, b, w), feats)
-            except Exception as e:  # noqa: BLE001
-                print(f'  B={b:4d} W={w:4d}  FAILED {type(e).__name__}')
-                continue
-            print(f'  B={b:4d} W={w:4d}  {t:7.3f} ms   dropped={n_over}'
+            n_over = drops[(b, w)]
+            print(f'  B={b:4d} W={w:4d}  {best[(b, w)]:7.3f} ms   '
+                  f'dropped={n_over}'
                   f' ({n_over / max(n_valid, 1) * 100:.4f}%)')
 
 
