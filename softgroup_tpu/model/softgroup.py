@@ -421,8 +421,14 @@ def clusters_voxelization(props: Proposals, feats: jax.Array,
     """
     p_max = props.prop_valid.shape[0]
     ci = jnp.clip(props.entry_pt, 0, coords_float.shape[0] - 1)
-    coords = coords_float[ci]
-    fe = feats[ci]
+    # ONE wide row gather for coords+feats: TPU row gathers move a (16, 128)
+    # tile per row, so a (E, 3) f32 gather costs the same as (E, 3+C) — two
+    # separate gathers would double the traffic (the narrow coords one is
+    # ~2.5 ms alone at bench scale)
+    comb = jnp.concatenate([coords_float,
+                            feats.astype(jnp.float32)], axis=1)[ci]
+    coords = comb[:, :3]
+    fe = comb[:, 3:]
     seg = jnp.where(props.entry_valid, props.entry_seg, p_max)
 
     # entry_seg is CSR-sorted (forward_grouping builds it from a key sort),
@@ -447,9 +453,11 @@ def clusters_voxelization(props: Proposals, feats: jax.Array,
         rng_range = cmax_s - cmin_s
         cmin_s = cmin_s - jnp.maximum(spatial_shape - rng_range - 0.001, 0) * r1
         cmin_s = cmin_s - jnp.minimum(spatial_shape - rng_range + 0.001, 0) * r2
-    sc_e = clusters_scale[jnp.clip(seg, 0, p_max - 1)]
-    mn_e = cmin_s[jnp.clip(seg, 0, p_max - 1)]
-    grid = coords * sc_e[:, None] - mn_e
+    # one row gather for (scale, cmin) instead of a 1-D float gather + a
+    # narrow row gather (same tile-per-row argument as above)
+    par = jnp.concatenate([clusters_scale[:, None], cmin_s], axis=1)
+    pe = par[jnp.clip(seg, 0, p_max - 1)]
+    grid = coords * pe[:, :1] - pe[:, 1:]
     grid = jnp.clip(jnp.floor(grid), 0, spatial_shape - 1).astype(jnp.int32)
     c4 = jnp.concatenate([seg[:, None].astype(jnp.int32), grid], axis=1)
 

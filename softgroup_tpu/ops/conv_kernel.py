@@ -42,7 +42,7 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
 def window_rules(rules: jax.Array, group_of_tap: np.ndarray, n_groups: int,
-                 w: int, b: int, v_in: int):
+                 w: int, b: int, v_in: int, m_step: int = 1):
     """Per-(block, group) window starts + window-local rule indices.
 
     Args:
@@ -51,19 +51,26 @@ def window_rules(rules: jax.Array, group_of_tap: np.ndarray, n_groups: int,
       group_of_tap: (K,) static tap -> window group (taps grouped by dx).
       w, b: window width / output block size (static).
       v_in: input row count (window starts are clamped to [0, v_in - w]).
+      m_step: output blocks per kernel grid step (amortizes the per-step
+        control overhead, ~3 us/step measured).
     Returns:
       local: (K, V_out) int32 window-local indices (anything outside [0, w)
         contributes zero in the kernel — no clipping needed).
-      starts: (n_groups, nb) int32 window start rows in UNITS OF 16 (the
-        kernel multiplies by 16 so Mosaic can prove sublane alignment of the
-        DMA slice; w must include a 16-row alignment margin).
+      starts: (n_groups*m_step + 1, nb//m_step) int32 window start rows in
+        UNITS OF 16 (the kernel multiplies by 16 so Mosaic can prove sublane
+        alignment of the DMA slice; w must include a 16-row alignment
+        margin), row g*m_step+m = group g of the step's m-th block; -1 for
+        blocks that are pure capacity padding (the kernel skips their DMA
+        and zeroes their rows).  Last row: any-valid flag per step.
       n_overflow: () int32 — entries dropped because the block's window
-        exceeded w (should be 0 with a properly sized w).
+        exceeded w (should be ~0 with a properly sized w).
     """
     k, v_out = rules.shape
     nb = v_out // b
+    assert nb % m_step == 0, (nb, m_step)
     rb = rules.reshape(k, nb, b)
     big = jnp.where(rb < 0, _INT_MAX, rb)
+    blk_valid = (rb >= 0).any(axis=(0, 2))                  # (nb,)
     starts = []
     for g in range(n_groups):
         taps = np.nonzero(group_of_tap == g)[0]
@@ -78,77 +85,96 @@ def window_rules(rules: jax.Array, group_of_tap: np.ndarray, n_groups: int,
     local = rb - ws_tap[:, :, None]
     local = jnp.where(rb < 0, -1, local)
     n_overflow = jnp.sum(local >= w)
-    # last row: per-block any-valid flag — the kernel skips compute and DMA
-    # for blocks that are pure capacity padding (up to ~30% at some levels)
-    blk_valid = (rb >= 0).any(axis=(0, 2)).astype(jnp.int32)[None, :]
-    starts = jnp.concatenate([starts, blk_valid], axis=0)
+    starts = jnp.where(blk_valid[None, :], starts, -1)
+    ns = nb // m_step
+    # (n_groups, ns, m_step) -> rows g*m_step + m
+    starts = starts.reshape(n_groups, ns, m_step) \
+        .transpose(0, 2, 1).reshape(n_groups * m_step, ns)
+    step_valid = blk_valid.reshape(ns, m_step).any(axis=1)
+    starts = jnp.concatenate(
+        [starts, step_valid[None, :].astype(jnp.int32)], axis=0)
     return local.reshape(k, v_out), starts, n_overflow
 
 
 def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
                  win, u, sems, *, b: int, w: int, k: int, n_groups: int,
-                 tpg: int, cin: int, cout: int, nb: int):
-    """One output block: DMA n_groups windows (double-buffered across the
-    sequential grid), weight-transform each window once, then accumulate
-    one-hot gather matmuls per tap."""
-    blk = pl.program_id(0)
-    slot = jax.lax.rem(blk, 2)
-    nxt = jax.lax.rem(blk + 1, 2)
+                 tpg: int, cin: int, cout: int, ns: int, m_step: int):
+    """One grid step = m_step output blocks: DMA their windows (double-
+    buffered across the sequential grid), then per block weight-transform
+    each window once and accumulate one-hot gather matmuls per tap.
+    Multiple blocks per step amortize the ~3 us fixed per-step control
+    cost (the dominant non-MXU term at production sizes)."""
+    step = pl.program_id(0)
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
 
-    def start_dmas(slot_i, blk_i):
-        @pl.when(ws_ref[n_groups, blk_i] > 0)
+    def start_dmas(slot_i, step_i):
+        @pl.when(ws_ref[n_groups * m_step, step_i] > 0)
         def _():
-            for g in range(n_groups):
-                start = pl.multiple_of(ws_ref[g, blk_i] * 16, 16)
-                pltpu.make_async_copy(
-                    feats_ref.at[pl.ds(start, w)],
-                    win.at[slot_i, g],
-                    sems.at[slot_i, g],
-                ).start()
+            for m in range(m_step):
+                for g in range(n_groups):
+                    @pl.when(ws_ref[g * m_step + m, step_i] >= 0)
+                    def _(m=m, g=g):
+                        start = pl.multiple_of(
+                            ws_ref[g * m_step + m, step_i] * 16, 16)
+                        pltpu.make_async_copy(
+                            feats_ref.at[pl.ds(start, w)],
+                            win.at[slot_i, m, g],
+                            sems.at[slot_i, m, g],
+                        ).start()
 
-    @pl.when(blk == 0)
+    @pl.when(step == 0)
     def _():
         start_dmas(0, 0)
 
-    @pl.when(blk + 1 < nb)
+    @pl.when(step + 1 < ns)
     def _():
-        start_dmas(nxt, blk + 1)
+        start_dmas(nxt, step + 1)
 
-    @pl.when(ws_ref[n_groups, blk] == 0)
+    @pl.when(ws_ref[n_groups * m_step, step] == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(ws_ref[n_groups, blk] > 0)
+    @pl.when(ws_ref[n_groups * m_step, step] > 0)
     def _():
-        for g in range(n_groups):
-            start = pl.multiple_of(ws_ref[g, blk] * 16, 16)
-            pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
-                                  win.at[slot, g], sems.at[slot, g]).wait()
-
         cd = jnp.bfloat16
-        for g in range(n_groups):
-            u[g] = jax.lax.dot(
-                win[slot, g].astype(cd), wstack_ref[g].astype(cd),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32).astype(cd)
-
         iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-        acc = jnp.zeros((b, cout), jnp.float32)
-        for t in range(k):
-            g, p = t // tpg, t % tpg
-            oh = (rules_ref[t][:, None] == iota).astype(cd)
-            acc += jax.lax.dot(oh, u[g, :, p * cout:(p + 1) * cout],
-                               precision=jax.lax.Precision.DEFAULT,
-                               preferred_element_type=jnp.float32)
-        out_ref[:] = acc.astype(out_ref.dtype)
+        for m in range(m_step):
+            @pl.when(ws_ref[m, step] < 0)
+            def _(m=m):
+                out_ref[m * b:(m + 1) * b, :] = jnp.zeros(
+                    (b, cout), out_ref.dtype)
+
+            @pl.when(ws_ref[m, step] >= 0)
+            def _(m=m):
+                for g in range(n_groups):
+                    pltpu.make_async_copy(
+                        feats_ref.at[pl.ds(pl.multiple_of(
+                            ws_ref[g * m_step + m, step] * 16, 16), w)],
+                        win.at[slot, m, g], sems.at[slot, m, g]).wait()
+                for g in range(n_groups):
+                    u[g] = jax.lax.dot(
+                        win[slot, m, g].astype(cd), wstack_ref[g].astype(cd),
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32).astype(cd)
+                acc = jnp.zeros((b, cout), jnp.float32)
+                for t in range(k):
+                    g, p = t // tpg, t % tpg
+                    oh = (rules_ref[t, m * b:(m + 1) * b][:, None]
+                          == iota).astype(cd)
+                    acc += jax.lax.dot(
+                        oh, u[g, :, p * cout:(p + 1) * cout],
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+                out_ref[m * b:(m + 1) * b, :] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('group_of_tap', 'n_groups',
-                                             'block_b', 'window_w',
+                                             'block_b', 'window_w', 'm_step',
                                              'interpret'))
 def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
                   group_of_tap: tuple, n_groups: int,
-                  block_b: int = 256, window_w: int = 512,
+                  block_b: int = 256, window_w: int = 512, m_step: int = 1,
                   interpret: bool = False) -> jax.Array:
     """Sparse conv via the windowed gather-GEMM kernel.
 
@@ -158,6 +184,7 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
         (tap t = group g * tpg + p, weight at wstack[g][:, p*Cout:...]).
       rules: (K, V_out) int32 global gather table (monotone per tap).
       group_of_tap: tap -> group (static tuple).
+      m_step: output blocks per grid step (control-overhead amortization).
     Returns:
       (V_out, Cout) in feats.dtype, f32-accumulated.
     """
@@ -166,8 +193,9 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
     tpg = k // n_groups
     cout = wstack.shape[2] // tpg
     b, w = block_b, window_w
-    assert v_out % b == 0 and v_in >= w, (v_out, b, v_in, w)
-    nb = v_out // b
+    assert v_out % (b * m_step) == 0 and v_in >= w, (v_out, b, m_step,
+                                                     v_in, w)
+    ns = v_out // (b * m_step)
     gmap = np.asarray(group_of_tap, np.int32)
 
     # manual HBM->VMEM window DMA requires full 128-lane tiles: pad Cin (the
@@ -179,26 +207,27 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
         wstack = jnp.pad(wstack, ((0, 0), (0, pad), (0, 0)))
         cin = cin + pad
 
-    local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in)
+    local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in,
+                                    m_step)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(ns,),
         in_specs=[
-            pl.BlockSpec((k, b), lambda i, ws: (0, i)),      # local rules
+            pl.BlockSpec((k, b * m_step), lambda i, ws: (0, i)),  # rules
             pl.BlockSpec(wstack.shape, lambda i, ws: (0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # feats
         ],
-        out_specs=pl.BlockSpec((b, cout), lambda i, ws: (i, 0)),
+        out_specs=pl.BlockSpec((b * m_step, cout), lambda i, ws: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, n_groups, w, cin), feats.dtype),
+            pltpu.VMEM((2, m_step, n_groups, w, cin), feats.dtype),
             pltpu.VMEM((n_groups, w, tpg * cout), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, n_groups)),
+            pltpu.SemaphoreType.DMA((2, m_step, n_groups)),
         ],
     )
     kernel = functools.partial(_conv_kernel, b=b, w=w, k=k,
                                n_groups=n_groups, tpg=tpg, cin=cin,
-                               cout=cout, nb=nb)
+                               cout=cout, ns=ns, m_step=m_step)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -227,21 +256,24 @@ def _stack_weight(weight: jax.Array, n_groups: int) -> jax.Array:
 
 
 def subm_conv_windowed(feats, weight, rules, block_b=256, window_w=512,
-                       interpret=False):
+                       m_step=1, interpret=False):
     """Drop-in for sparse_conv.subm_conv (k=3^3, 27 taps)."""
     return windowed_conv(feats, _stack_weight(weight, 3), rules,
-                         _SUBM_GROUPS, 3, block_b, window_w, interpret)
+                         _SUBM_GROUPS, 3, block_b, window_w, m_step,
+                         interpret)
 
 
 def down_conv_windowed(feats, weight, down_rules, block_b=256, window_w=512,
-                       interpret=False):
+                       m_step=1, interpret=False):
     """Drop-in for sparse_conv.down_conv (k=2 s=2, 8 taps)."""
     return windowed_conv(feats, _stack_weight(weight, 2), down_rules,
-                         _DOWN_GROUPS, 2, block_b, window_w, interpret)
+                         _DOWN_GROUPS, 2, block_b, window_w, m_step,
+                         interpret)
 
 
 def inverse_conv_windowed(feats, weight, parent_idx, child_tap,
-                          block_b=256, window_w=512, interpret=False):
+                          block_b=256, window_w=512, m_step=1,
+                          interpret=False):
     """Drop-in for sparse_conv.inverse_conv.
 
     Each fine voxel gathers exactly one coarse parent at one tap, so the
@@ -254,7 +286,8 @@ def inverse_conv_windowed(feats, weight, parent_idx, child_tap,
     rules = jnp.where((child_tap[None, :] == taps) & (pi[None, :] >= 0),
                       pi[None, :], -1).astype(jnp.int32)
     return windowed_conv(feats, _stack_weight(weight, 1), rules,
-                         tuple([0] * k), 1, block_b, window_w, interpret)
+                         tuple([0] * k), 1, block_b, window_w, m_step,
+                         interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Train-step latency at ScanNet bench scale on one TPU chip.
+
+The reference trains ScanNet in ~10 h / 128 epochs on 4 GPUs
+(`README.md:21`), i.e. ~937 ms per scene per GPU.  This measures our full
+jitted train step (forward + losses + backward + optimizer) on one chip.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+
+
+def main():
+    import optax
+
+    import __graft_entry__ as ge
+    from softgroup_tpu.model.softgroup import Capacities
+    from softgroup_tpu.parallel.mesh import TrainState, make_train_step
+
+    caps = Capacities(
+        points=262144,
+        voxels=(196608, 98304, 32768, 8192, 2048, 1024, 512),
+        grouping_points=393216, proposals=256, proposal_entries=262144,
+        instances=128, inst_voxels=(65536, 16384), grouping_cells=16384)
+    net, variables, cfg, caps, batch = ge._build(
+        channels=32, num_blocks=7, n_points=250000, caps=caps)
+
+    tx = optax.adam(1e-3)
+    step = make_train_step(net, cfg, caps, tx, mesh=None)
+    params = variables['params']
+    state = TrainState(params=params,
+                       batch_stats=variables.get('batch_stats', {}),
+                       opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    rng = jax.random.PRNGKey(0)
+
+    state, logs = step(state, batch, rng)
+    np.asarray(logs['loss'])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, logs = step(state, batch, rng)
+    np.asarray(logs['loss'])
+    dt = (time.perf_counter() - t0) / iters * 1000.0
+    print(f'train step: {dt:.1f} ms/scene  (reference ~937 ms/scene/GPU)')
+
+
+if __name__ == '__main__':
+    main()

@@ -60,36 +60,48 @@ def main():
 
         print(f'level {lvl}: V_real={v_real} cap={cap} C={c} '
               f'valid taps={n_valid}')
-        configs = [(b, w) for b, w in
-                   [(128, 256), (256, 384), (384, 512), (512, 640),
-                    (512, 768), (768, 1024)] if cap % b == 0]
-        best = {bw: np.inf for bw in configs}
+        configs = [(b, w, m) for b, w in
+                   [(128, 256), (256, 384), (384, 512)]
+                   for m in (1, 2, 4, 8) if cap % (b * m) == 0]
+        best = {c: np.inf for c in configs}
         drops = {}
         # 3 interleaved passes: the tunnelled chip drifts ~2x between
         # runs, so only per-config minima across interleaved passes are
         # comparable
         for rep in range(3):
-            for b, w in configs:
+            for b, w, m in configs:
                 if rep == 0:
                     _, _, n_over = window_rules(
                         rules_j, np.asarray(_SUBM_GROUPS, np.int32), 3, w,
                         b, cap)
-                    drops[(b, w)] = int(n_over)
+                    drops[(b, w, m)] = int(n_over)
+                    if m > 1 and n_over == 0:
+                        ref = subm_conv_windowed(feats, weight, rules_j,
+                                                 b, w, 1)
+                        got = subm_conv_windowed(feats, weight, rules_j,
+                                                 b, w, m)
+                        bad = int(jnp.sum(jnp.any(
+                            jnp.abs(got.astype(jnp.float32)
+                                    - ref.astype(jnp.float32)) > 1e-2,
+                            axis=1)))
+                        if bad:
+                            print(f'  B={b} W={w} M={m}: {bad} rows '
+                                  f'mismatch vs M=1!')
                 try:
                     t, _ = timed(lambda f: subm_conv_windowed(
-                        f, weight, rules_j, b, w), feats, iters=15)
+                        f, weight, rules_j, b, w, m), feats, iters=15)
                 except Exception as e:  # noqa: BLE001
-                    best[(b, w)] = None
+                    best[(b, w, m)] = None
                     if rep == 0:
-                        print(f'  B={b:4d} W={w:4d}  FAILED '
+                        print(f'  B={b:4d} W={w:4d} M={m}  FAILED '
                               f'{type(e).__name__}')
                     continue
-                best[(b, w)] = min(best[(b, w)], t)
-        for b, w in configs:
-            if best[(b, w)] is None:
+                best[(b, w, m)] = min(best[(b, w, m)], t)
+        for b, w, m in configs:
+            if best[(b, w, m)] is None:
                 continue
-            n_over = drops[(b, w)]
-            print(f'  B={b:4d} W={w:4d}  {best[(b, w)]:7.3f} ms   '
+            n_over = drops[(b, w, m)]
+            print(f'  B={b:4d} W={w:4d} M={m}  {best[(b, w, m)]:7.3f} ms   '
                   f'dropped={n_over}'
                   f' ({n_over / max(n_valid, 1) * 100:.4f}%)')
 
