@@ -102,7 +102,12 @@ class CustomDataset:
     def __getitem__(self, index):
         filename = self.filenames[index]
         scan_id = osp.basename(filename).replace(self.suffix, '')
-        data = self.load(filename)
+        xyz, rgb, sem, inst = self.load(filename)
+        # prepared .pth files store labels as float64 (reference
+        # prepare_data_inst.py format); integer label ops need int
+        data = (np.asarray(xyz), np.asarray(rgb),
+                np.asarray(sem).astype(np.int64),
+                np.asarray(inst).astype(np.int64))
         data = self.transform_train(*data) if self.training \
             else self.transform_test(*data)
         if data is None:
