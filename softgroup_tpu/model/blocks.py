@@ -116,16 +116,17 @@ class DownConv(nn.Module):
 
 
 class UpConv(nn.Module):
-    """k=2 inverse conv (spconv.SparseInverseConv3d)."""
+    """k=2 inverse conv (spconv.SparseInverseConv3d).  The fine level's
+    down_rules (when present) buy the fully scatter-free backward."""
     features: int
 
     @nn.compact
-    def __call__(self, x, parent_idx, child_tap):
+    def __call__(self, x, parent_idx, child_tap, down_rules=None):
         cin = x.shape[-1]
         w = self.param('kernel',
                        nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform'),
                        (8, cin, self.features))
-        return inverse_conv(x, w, parent_idx, child_tap)
+        return inverse_conv(x, w, parent_idx, child_tap, down_rules)
 
 
 class MLP(nn.Module):
@@ -205,7 +206,8 @@ class UBlock(nn.Module):
             y = MaskedBatchNorm(self.nPlanes[1], name='deconv_norm')(
                 y, nxt.vox_valid, train)
             y = nn.relu(y)
-            y = UpConv(width, name='deconv')(y, lv.parent_idx, lv.child_tap)
+            y = UpConv(width, name='deconv')(y, lv.parent_idx, lv.child_tap,
+                                             lv.down_rules)
             x = jnp.concatenate([x, y], axis=1)
             for i in range(self.block_reps):
                 x = ResidualBlock(width, name=f'block_tail{i}')(

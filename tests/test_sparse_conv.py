@@ -136,6 +136,33 @@ class TestConvOracles:
             np.asarray(linear(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))),
             x @ w + b, rtol=1e-5)
 
+    def test_inverse_conv_custom_vjp_matches_autodiff(self, rng):
+        """inverse_conv's scatter-free backward (down_rules path) must match
+        plain autodiff of the one-hot-matmul forward exactly."""
+        import jax
+        vc = random_voxels(rng, 120, extent=8)
+        cin, cout = 4, 3
+        _, down_rules, parent_idx, child_tap = build_downsample_np(vc)
+        n_coarse = down_rules.shape[1]
+        feats = jnp.asarray(rng.randn(n_coarse, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(8, cin, cout).astype(np.float32) * 0.1)
+        pi, ct, dr = (jnp.asarray(parent_idx), jnp.asarray(child_tap),
+                      jnp.asarray(down_rules))
+        cot = jnp.asarray(rng.randn(len(vc), cout).astype(np.float32))
+
+        def loss_custom(f, w):
+            return jnp.vdot(inverse_conv(f, w, pi, ct, dr), cot)
+
+        def loss_plain(f, w):
+            return jnp.vdot(inverse_conv(f, w, pi, ct), cot)
+
+        gc = jax.grad(loss_custom, argnums=(0, 1))(feats, w)
+        gp = jax.grad(loss_plain, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gp[0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gp[1]),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_subm_conv_grad_flows(self, rng):
         import jax
         vc = random_voxels(rng, 60, extent=6)
