@@ -624,18 +624,26 @@ def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
 
         cd = jnp.bfloat16
         gb = g_ref[:].astype(cd)                        # (B, Cout)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
-        for t in range(k):
-            g, p = t // tpg, t % tpg
-            oh = (rules_ref[t][:, None] == iota).astype(cd)
-            f_t = jax.lax.dot(oh, win[slot, g].astype(cd),
-                              precision=jax.lax.Precision.DEFAULT,
-                              preferred_element_type=jnp.float32).astype(cd)
-            dw = jax.lax.dot_general(
-                f_t, gb, dimension_numbers=(((0,), (0,)), ((), ())),
+        # contraction order matters: h_t = oh^T @ g costs W*B*Cout (no Cin
+        # factor — the padded Cin=128 never enters), then ONE per-group
+        # (Cin, W) x (W, tpg*Cout) matmul produces the group's whole dW
+        # block.  ~2x fewer FLOPs than gather-then-outer-product and the
+        # MXU sees K=W, N=tpg*Cout shapes instead of N=Cout slivers.
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
+        for g in range(n_groups):
+            hs = []
+            for p in range(tpg):
+                t = g * tpg + p
+                oht = (rules_ref[t][None, :] == iota_w).astype(cd)  # (W, B)
+                hs.append(jax.lax.dot(
+                    oht, gb, precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32).astype(cd))
+            h = jnp.concatenate(hs, axis=1)              # (W, tpg*Cout)
+            out_ref[g] += jax.lax.dot_general(
+                win[slot, g].astype(cd), h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)      # (Cin, Cout)
-            out_ref[g, :, p * cout:(p + 1) * cout] += dw
+                preferred_element_type=jnp.float32)      # (Cin, tpg*Cout)
 
 
 @functools.partial(jax.jit, static_argnames=('group_of_tap', 'n_groups',

@@ -101,15 +101,15 @@ def _conv_xla(feats, weight, rules, cd):
 def _dw(feats, g, rules, groups, n_groups, weight_dtype):
     """Weight gradient — Pallas kernel when eligible, XLA scatter otherwise
     (CPU).  Both are exact."""
+    b, w = _kernel_bw(rules.shape[1])
     if _kernel_ok(rules.shape[1], feats.shape[0], g.shape[1]) or (
             jax.default_backend() == 'tpu'
-            and rules.shape[1] % _KERNEL_B == 0
+            and rules.shape[1] % b == 0
             and rules.shape[1] >= _KERNEL_MIN_VOXELS
-            and feats.shape[0] >= _KERNEL_W):
+            and feats.shape[0] >= w):
         from .conv_kernel import windowed_conv_dw
         return windowed_conv_dw(feats, g.astype(feats.dtype), rules, groups,
-                                n_groups, _KERNEL_B,
-                                _KERNEL_W).astype(weight_dtype)
+                                n_groups, b, w).astype(weight_dtype)
     k = len(groups)
     zeros_w = jnp.zeros((k,) + (feats.shape[1], g.shape[1]), weight_dtype)
     return jax.vjp(lambda w: _conv_xla(feats, w, rules, feats.dtype),

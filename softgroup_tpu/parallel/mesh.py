@@ -72,24 +72,40 @@ def shard_batch(stacked, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
 
 
-def make_train_step(net, cfg, caps, tx, mesh: Mesh | None = None):
+def make_train_step(net, cfg, caps, tx, mesh: Mesh | None = None,
+                    frozen_modules: tuple = ()):
     """Build the jitted train step.
 
     Single-device: plain jit.  Mesh: shard_map over 'data' with pmean'd
     gradients/metrics (replacing DDP all_reduce) and pmean'd batch-stat
     updates (an improvement over the reference, which lets per-rank BN
     statistics drift and keeps rank 0's).
+
+    frozen_modules: top-level param modules to exclude from
+    differentiation (the reference's requires_grad=False freezing,
+    `softgroup.py:81-84`).  Excluding them from the grad computation — not
+    just masking their updates — lets XLA dead-code-eliminate the whole
+    frozen backward: with the flagship config's frozen backbone, the
+    backward pass shrinks to the refinement stage.
     """
+    frozen = tuple(m for m in frozen_modules)
 
     def device_grads(batch, params, batch_stats, rng):
-        def loss_fn(p):
+        trainable = {k: v for k, v in params.items() if k not in frozen}
+        frozen_p = {k: v for k, v in params.items() if k in frozen}
+
+        def loss_fn(tp):
             (loss, logs), mut = net.apply(
-                {'params': p, 'batch_stats': batch_stats}, batch, cfg, caps,
-                rng, method=net.loss_forward, mutable=['batch_stats'])
+                {'params': {**frozen_p, **tp}, 'batch_stats': batch_stats},
+                batch, cfg, caps, rng, method=net.loss_forward,
+                mutable=['batch_stats'])
             return loss, (logs, mut['batch_stats'])
 
-        (loss, (logs, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        (loss, (logs, new_bs)), tgrads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        grads = {k: (tgrads[k] if k in tgrads
+                     else jax.tree.map(jnp.zeros_like, v))
+                 for k, v in params.items()}
         return loss, logs, new_bs, grads
 
     if mesh is not None:

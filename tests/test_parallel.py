@@ -64,6 +64,45 @@ class TestMeshStep:
         assert all(np.isfinite(np.asarray(x)).all()
                    for x in jax.tree.leaves(sn.params))
 
+    def test_frozen_modules_step(self):
+        """frozen_modules are excluded from differentiation: their params
+        stay bit-identical after a step while trainable ones move, and the
+        loss matches the unfrozen step's loss."""
+        (net, cfg, caps, tx, state, batch, make_mesh, make_train_step,
+         stack_batches, shard_batch) = _tiny(1)
+        key = jax.random.PRNGKey(0)
+        frozen = ('input_conv', 'unet', 'output_norm', 'semantic_linear',
+                  'offset_linear')
+        step_f = make_train_step(net, cfg, caps, tx, mesh=None,
+                                 frozen_modules=frozen)
+        step = make_train_step(net, cfg, caps, tx, mesh=None)
+        s0 = jax.tree.map(jnp.array, state)
+        s_full, logs_full = step(jax.tree.map(jnp.array, state), batch, key)
+        sf, logs = step_f(jax.tree.map(jnp.array, state), batch, key)
+        np.testing.assert_allclose(float(logs['loss']),
+                                   float(logs_full['loss']), rtol=1e-5)
+        # frozen modules stay bit-identical under step_f...
+        for mod in frozen:
+            for b, a in zip(jax.tree.leaves(s0.params[mod]),
+                            jax.tree.leaves(sf.params[mod])):
+                np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+        # ...while the full step moves them (semantic loss reaches the
+        # backbone), proving the exclusion is what froze them
+        moved = any(
+            not np.array_equal(np.asarray(b), np.asarray(a))
+            for mod in frozen
+            for b, a in zip(jax.tree.leaves(s0.params[mod]),
+                            jax.tree.leaves(s_full.params[mod])))
+        assert moved, 'full step moved nothing — test is vacuous'
+        # trainable modules get identical treatment in both steps
+        for mod in sf.params:
+            if mod in frozen:
+                continue
+            for b, a in zip(jax.tree.leaves(s_full.params[mod]),
+                            jax.tree.leaves(sf.params[mod])):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           rtol=1e-6, atol=1e-8)
+
     def test_mesh_requires_devices(self):
         from softgroup_tpu.parallel.mesh import make_mesh
         with pytest.raises(ValueError):

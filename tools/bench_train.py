@@ -52,6 +52,27 @@ def main():
     dt = (time.perf_counter() - t0) / iters * 1000.0
     print(f'train step: {dt:.1f} ms/scene  (reference ~937 ms/scene/GPU)')
 
+    # flagship ScanNet recipe: backbone frozen (fixed_modules), only the
+    # refinement stage trains — frozen modules are excluded from
+    # differentiation so their backward is DCE'd
+    frozen = ('input_conv', 'unet', 'output_norm', 'semantic_linear',
+              'offset_linear')
+    step_f = make_train_step(net, cfg, caps, tx, mesh=None,
+                             frozen_modules=frozen)
+    params = state.params
+    state_f = TrainState(params=params,
+                         batch_stats=state.batch_stats,
+                         opt_state=tx.init(params),
+                         step=jnp.zeros((), jnp.int32))
+    state_f, logs = step_f(state_f, batch, rng)
+    np.asarray(logs['loss'])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state_f, logs = step_f(state_f, batch, rng)
+    np.asarray(logs['loss'])
+    dt_f = (time.perf_counter() - t0) / iters * 1000.0
+    print(f'train step (frozen backbone): {dt_f:.1f} ms/scene')
+
 
 if __name__ == '__main__':
     main()

@@ -140,7 +140,9 @@ def main():
         state, start_epoch = ckpt.load(state)
         logger.info(f'resumed at epoch {start_epoch}')
 
-    train_step = make_train_step(net, cfg.model, caps, tx, mesh)
+    train_step = make_train_step(
+        net, cfg.model, caps, tx, mesh,
+        frozen_modules=tuple(cfg.model.get('fixed_modules', [])))
     rng = jax.random.PRNGKey(42)
 
     for epoch in range(start_epoch, cfg.epochs + 1):
