@@ -133,6 +133,55 @@ class TestCheckpoint:
             assert f'epoch_{e}' in names
 
 
+class TestReferenceImport:
+
+    def test_state_dict_roundtrip(self):
+        """Every param/batch_stat leaf of the real model translates to a
+        reference state_dict name, and importing a fabricated state dict in
+        the reference layout (spconv (Cout, k, k, k, Cin) kernels, torch
+        (out, in) linears) restores every tensor bit-exactly."""
+        import jax
+        import __graft_entry__ as ge
+        from softgroup_tpu.util.checkpoint import (_translate,
+                                                   import_reference_weights)
+
+        _, variables, _, _, _ = ge._build(channels=4, num_blocks=3,
+                                          n_points=1500)
+        variables = dict(variables)
+        flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+        rng = np.random.RandomState(0)
+        torch_state, expected = {}, {}
+        for keypath, leaf in flat:
+            parts = tuple(getattr(k, 'key', str(k)) for k in keypath)
+            ref = _translate(parts[1:])
+            assert ref is not None, f'unmapped leaf {"/".join(parts)}'
+            val = rng.randn(*leaf.shape).astype(np.float32)
+            expected['/'.join(parts)] = val
+            leafname = parts[-1]
+            if val.ndim == 3:            # (K, Cin, Cout) conv kernel
+                k = val.shape[0]
+                k1 = round(k ** (1 / 3))
+                assert k1 ** 3 == k, k
+                torch_state[ref] = np.ascontiguousarray(
+                    val.transpose(2, 0, 1).reshape(
+                        val.shape[2], k1, k1, k1, val.shape[1]))
+            elif val.ndim == 2 and leafname.endswith('kernel'):
+                if leafname == 'i_branch_kernel':
+                    # reference 1x1 subm conv: (Cout, 1, 1, 1, Cin)
+                    torch_state[ref] = np.ascontiguousarray(
+                        val.T[:, None, None, None, :])
+                else:
+                    torch_state[ref] = np.ascontiguousarray(val.T)
+            else:
+                torch_state[ref] = val
+        out = import_reference_weights(variables, torch_state)
+        oflat, _ = jax.tree_util.tree_flatten_with_path(out)
+        for keypath, leaf in oflat:
+            parts = '/'.join(getattr(k, 'key', str(k)) for k in keypath)
+            np.testing.assert_array_equal(np.asarray(leaf), expected[parts],
+                                          err_msg=parts)
+
+
 class TestConfig:
 
     def test_attribute_access_nested(self):
