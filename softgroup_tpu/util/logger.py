@@ -62,6 +62,23 @@ class SummaryWriter:
                 self.tb.flush()
 
 
+def get_max_memory() -> int:
+    """Peak device memory in MB across local devices — the TPU analogue of
+    the reference's CUDA max_memory_allocated reduced over ranks
+    (`softgroup/util/utils.py:148-154`).  Returns 0 when the backend does
+    not expose memory stats (CPU)."""
+    import jax
+    peak = 0
+    for d in jax.local_devices():
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:  # noqa: BLE001 — stats are optional per backend
+            continue
+        peak = max(peak, stats.get('peak_bytes_in_use',
+                                   stats.get('bytes_in_use', 0)))
+    return peak // (1 << 20)
+
+
 class AverageMeter:
     """Running average (`softgroup/util/utils.py:13-51`); cross-device
     averaging happens inside the jitted step, not here."""

@@ -188,6 +188,57 @@ class TestDatasetEndToEnd:
         assert len(ds) == 6
 
 
+class TestKITTI:
+
+    def _dataset(self, tmp_path, training=False):
+        import shutil
+        rng = np.random.RandomState(0)
+        root = tmp_path / 'kitti'
+        # the shipped metadata is the dataset interface contract
+        (root).mkdir(exist_ok=True)
+        shutil.copy('dataset/kitti/semantic-kitti.yaml',
+                    root / 'semantic-kitti.yaml')
+        seq = root / 'sequences' / '08' / 'velodyne'  # 08 = val split
+        seq.mkdir(parents=True)
+        (root / 'sequences' / '08' / 'labels').mkdir()
+        n = 3000
+        xyz = (rng.rand(n, 3).astype(np.float32) * 40 - 20)
+        rem = rng.rand(n, 1).astype(np.float32)
+        np.concatenate([xyz, rem], 1).tofile(seq / '000000.bin')
+        # labels: raw semantic id in low 16 bits, instance in high 16
+        raw_sem = rng.choice([0, 10, 30, 40, 50, 70], size=n)  # car/person...
+        inst_id = rng.randint(1, 4, size=n)
+        raw = (raw_sem | (inst_id << 16)).astype(np.int32)
+        raw.tofile(root / 'sequences' / '08' / 'labels' / '000000.label')
+        voxel_cfg = Config(dict(scale=20, spatial_shape=[128, 512],
+                                max_npoint=2800, min_npoint=100))
+        return KITTIDataset(data_root=str(root), prefix='val', suffix='.bin',
+                            voxel_cfg=voxel_cfg, training=training, seed=0)
+
+    def test_load_remap_and_item(self, tmp_path):
+        """.bin/.label IO, learning_map remap (stuff 0..10, things 11..18,
+        ignore -100), instance compaction, and the sequence-scoped scan id
+        (reference kitti.py:62-90)."""
+        ds = self._dataset(tmp_path)
+        xyz, rem, sem, inst = ds.load(ds.filenames[0])
+        assert rem.shape == (3000, 1)
+        assert set(np.unique(sem)) <= set([-100] + list(range(19)))
+        # raw 10 = car -> thing class 11; raw 40 = road -> stuff 0
+        # raw 0 = unlabeled -> -100
+        assert (sem[sem > 10] >= 11).all()
+        assert (inst[sem <= 10] == -100).all()
+        item = ds[0]
+        assert item is not None
+        assert item['scan_id'].startswith('sequences')
+        # instances compacted to dense 0..K-1
+        pos = item['instance_label'][item['instance_label'] >= 0]
+        if len(pos):
+            assert set(np.unique(pos)) == set(range(int(pos.max()) + 1))
+        # label_shift maps thing classes to 0-based instance-class range
+        icls = item['inst_cls']
+        assert ((icls == -100) | ((icls >= 0) & (icls < 8))).all()
+
+
 class TestS3DISSplit:
 
     def _dataset(self, tmp_path, x4_split):

@@ -32,7 +32,7 @@ from softgroup_tpu.util.checkpoint import (CheckpointManager,
                                            load_reference_state_dict)
 from softgroup_tpu.util.config import load_config
 from softgroup_tpu.util.logger import AverageMeter, SummaryWriter, \
-    get_root_logger
+    get_max_memory, get_root_logger
 from softgroup_tpu.util.optim import (build_optimizer, clip_by_global_norm,
                                       cosine_after_step_schedule,
                                       masked_optimizer)
@@ -181,6 +181,7 @@ def main():
                 logger.info(
                     f'Epoch [{epoch}/{cfg.epochs}][{step_in_epoch}/'
                     f'{steps_per_epoch}] lr {lr:.2g} eta {eta / 3600:.1f}h '
+                    f'mem {get_max_memory()}MB '
                     f'iter {iter_time.avg:.2f}s ({mstr})')
         for k, m in meters.items():
             writer.add_scalar(f'train/{k}', m.avg, epoch)
