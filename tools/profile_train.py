@@ -46,32 +46,36 @@ def capture():
     print('trace done', flush=True)
 
 
-def report(top=40):
+def report(top=25, trace_dir='/tmp/jaxtrace'):
     from collections import defaultdict
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    paths = sorted(glob.glob('/tmp/jaxtrace/**/*.xplane.pb', recursive=True))
+    paths = sorted(glob.glob(f'{trace_dir}/**/*.xplane.pb', recursive=True))
     if not paths:
         print('no xplane.pb found')
         return
     xspace = xplane_pb2.XSpace()
     with open(paths[-1], 'rb') as f:
         xspace.ParseFromString(f.read())
-    tot = defaultdict(float)
     for plane in xspace.planes:
         if 'TPU' not in plane.name and 'tpu' not in plane.name.lower():
             continue
         ev_names = plane.event_metadata
         for line in plane.lines:
+            tot = defaultdict(float)
+            span = 0.0
             for ev in line.events:
                 name = ev_names[ev.metadata_id].name
                 tot[name] += ev.duration_ps / 1e9  # ms
-    items = sorted(tot.items(), key=lambda kv: -kv[1])
-    s = sum(tot.values())
-    print(f'total device event time: {s:.1f} ms (3 steps, all lines)')
-    for name, ms in items[:top]:
-        print(f'  {ms:9.2f} ms  {name[:110]}')
+                span += ev.duration_ps / 1e9
+            if span < 50:
+                continue
+            print(f'--- plane "{plane.name}" line "{line.name}" '
+                  f'total {span:.1f} ms ---')
+            items = sorted(tot.items(), key=lambda kv: -kv[1])
+            for name, ms in items[:top]:
+                print(f'  {ms:9.2f} ms  {name[:105]}')
 
 
 if __name__ == '__main__':
