@@ -337,19 +337,48 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
                           jnp.where(biggest > 100000, 2.0, 1.0))
         radius_j = radius_j * level
 
-    # one fused compaction over (class, point) entries — top_k instead of
-    # nonzero (4x cheaper on TPU; identical ascending-index result)
-    big = jnp.int32(n_cls * p)
-    iota = jax.lax.iota(jnp.int32, n_cls * p)
-    k_top = min(n_tot, n_cls * p)
-    idx = -jax.lax.top_k(
-        jnp.where(active.reshape(-1), -iota, -big), k_top)[0]
-    if k_top < n_tot:
-        idx = jnp.concatenate(
-            [idx, jnp.full((n_tot - k_top,), big, jnp.int32)])
-    valid_e = idx < big
-    cls_e = jnp.where(valid_e, idx // p, 0)
-    pt_e = jnp.where(valid_e, idx % p, 0)
+    # one fused compaction over candidate (class, point) entries.  The
+    # softmax scores sum to 1, so at most floor(1/score_thr) classes can
+    # strictly clear score_thr per point — with the standard thr=0.2 a
+    # per-point top-5 provably covers every active entry, shrinking the
+    # compaction sort 4x (n_cls=20 -> 5 candidates per point).
+    k_cand = min(n_cls, int(np.floor(1.0 / max(score_thr, 1e-6))))
+    if k_cand < n_cls:
+        top_s, top_c = jax.lax.top_k(scores, k_cand)      # (P, k_cand)
+        # per-class gates looked up via one-hot compare (tiny tables; a
+        # 1-D gather here costs ~10 ns/element)
+        class_ok = (counts >= min_npoint) & ~ignore       # (C,)
+        oh = top_c[:, :, None] == jnp.arange(n_cls)[None, None, :]
+        ok_sel = (oh & class_ok[None, None, :]).any(-1)
+        act5 = (top_s > score_thr) & point_valid[:, None] & ok_sel
+        n_cand = p * k_cand
+        big = jnp.int32(n_cand)
+        iota = jax.lax.iota(jnp.int32, n_cand)
+        k_top = min(n_tot, n_cand)
+        idx = -jax.lax.top_k(
+            jnp.where(act5.reshape(-1), -iota, -big), k_top)[0]
+        if k_top < n_tot:
+            idx = jnp.concatenate(
+                [idx, jnp.full((n_tot - k_top,), big, jnp.int32)])
+        valid_e = idx < big
+        idx_c = jnp.where(valid_e, idx, 0)
+        pt_e = idx_c // k_cand
+        cls_e = jnp.where(valid_e, top_c.reshape(-1)[idx_c], 0)
+        pt_e = jnp.where(valid_e, pt_e, 0)
+    else:
+        # top_k instead of nonzero (4x cheaper on TPU; identical
+        # ascending-index result)
+        big = jnp.int32(n_cls * p)
+        iota = jax.lax.iota(jnp.int32, n_cls * p)
+        k_top = min(n_tot, n_cls * p)
+        idx = -jax.lax.top_k(
+            jnp.where(active.reshape(-1), -iota, -big), k_top)[0]
+        if k_top < n_tot:
+            idx = jnp.concatenate(
+                [idx, jnp.full((n_tot - k_top,), big, jnp.int32)])
+        valid_e = idx < big
+        cls_e = jnp.where(valid_e, idx // p, 0)
+        pt_e = jnp.where(valid_e, idx % p, 0)
     # shift at point level first: ONE entry-level gather instead of two
     shifted_pts = coords_float + pt_offsets.astype(jnp.float32)
     shifted = shifted_pts[pt_e]
