@@ -2,7 +2,8 @@
 """Train-step latency at ScanNet bench scale on one TPU chip.
 
 The reference trains ScanNet in ~10 h / 128 epochs on 4 GPUs
-(`README.md:21`), i.e. ~937 ms per scene per GPU.  This measures our full
+(`README.md:21`; 4804 samples/epoch, batch 4/GPU) — ~937 ms per 4-scene
+step per GPU, i.e. ~234 ms/scene/GPU throughput.  This measures our full
 jitted train step (forward + losses + backward + optimizer) on one chip.
 """
 
@@ -50,7 +51,8 @@ def main():
         state, logs = step(state, batch, rng)
     np.asarray(logs['loss'])
     dt = (time.perf_counter() - t0) / iters * 1000.0
-    print(f'train step: {dt:.1f} ms/scene  (reference ~937 ms/scene/GPU)')
+    print(f'train step: {dt:.1f} ms/scene  '
+          f'(reference throughput ~234 ms/scene/GPU)')
 
     # flagship ScanNet recipe: backbone frozen (fixed_modules), only the
     # refinement stage trains — frozen modules are excluded from

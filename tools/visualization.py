@@ -51,8 +51,6 @@ def load(root, sub, room):
 
 def get_coords_color(root, room, task):
     xyz = load(root, 'coords', room)
-    rgb = (load(root, 'semantic_label', room) * 0 + 127).astype(np.float32) \
-        if False else None
     if task == 'input':
         color = np.full((len(xyz), 3), 180, np.float32)
     elif task in ('semantic_gt', 'semantic_pred'):
