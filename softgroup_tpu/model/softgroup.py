@@ -124,7 +124,7 @@ class SoftGroupNet(nn.Module):
         x = self.input_conv(x, lv0.subm_rules)
         x = self.unet(x, pyramid.levels, self._t('unet', train))
         x = self.output_norm(x, lv0.vox_valid,
-                             self._t('output_layer', train))
+                             self._t('output_norm', train))
         x = nn.relu(x)
         output_feats = devoxelize(x, pyramid.p2v)
         pmask = pyramid.point_valid
@@ -145,7 +145,7 @@ class SoftGroupNet(nn.Module):
             x = x.astype(jnp.bfloat16)
         x = self.input_conv(x, lv0.subm_rules)
         x = self.unet(x, pyramid.levels, self._t('unet', train))
-        x = self.output_norm(x, lv0.vox_valid, self._t('output_layer', train))
+        x = self.output_norm(x, lv0.vox_valid, self._t('output_norm', train))
         x = nn.relu(x)
         vmask = lv0.vox_valid
         semantic_scores = self.semantic_linear(
@@ -289,6 +289,24 @@ class SoftGroupNet(nn.Module):
 # Grouping (no parameters)
 # ---------------------------------------------------------------------------
 
+def _compact_ascending(mask_flat: jax.Array, n_out: int):
+    """Ascending indices of True entries, padded to n_out.
+
+    top_k over negated iota instead of nonzero (4x cheaper on TPU;
+    identical ascending-index result).  Returns (idx clamped to valid
+    range 0 where padded, valid mask)."""
+    n = mask_flat.shape[0]
+    big = jnp.int32(n)
+    iota = jax.lax.iota(jnp.int32, n)
+    k_top = min(n_out, n)
+    idx = -jax.lax.top_k(jnp.where(mask_flat, -iota, -big), k_top)[0]
+    if k_top < n_out:
+        idx = jnp.concatenate(
+            [idx, jnp.full((n_out - k_top,), big, jnp.int32)])
+    valid = idx < big
+    return jnp.where(valid, idx, 0), valid
+
+
 def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
                      batch_idxs: jax.Array, coords_float: jax.Array,
                      point_valid: jax.Array, cfg: Any, caps: Any) -> Proposals:
@@ -339,10 +357,12 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
 
     # one fused compaction over candidate (class, point) entries.  The
     # softmax scores sum to 1, so at most floor(1/score_thr) classes can
-    # strictly clear score_thr per point — with the standard thr=0.2 a
-    # per-point top-5 provably covers every active entry, shrinking the
-    # compaction sort 4x (n_cls=20 -> 5 candidates per point).
-    k_cand = min(n_cls, int(np.floor(1.0 / max(score_thr, 1e-6))))
+    # strictly clear score_thr per point; +1 absorbs f32 softmax rounding
+    # (a computed sum can exceed 1 by ~1e-7, which at thresholds of the
+    # form 1/k could otherwise let one extra class through).  With the
+    # standard thr=0.2 a per-point top-6 provably covers every active
+    # entry, shrinking the compaction sort >3x (n_cls=20).
+    k_cand = min(n_cls, int(np.floor(1.0 / max(score_thr, 1e-6))) + 1)
     if k_cand < n_cls:
         top_s, top_c = jax.lax.top_k(scores, k_cand)      # (P, k_cand)
         # per-class gates looked up via one-hot compare (tiny tables; a
@@ -350,33 +370,12 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
         class_ok = (counts >= min_npoint) & ~ignore       # (C,)
         oh = top_c[:, :, None] == jnp.arange(n_cls)[None, None, :]
         ok_sel = (oh & class_ok[None, None, :]).any(-1)
-        act5 = (top_s > score_thr) & point_valid[:, None] & ok_sel
-        n_cand = p * k_cand
-        big = jnp.int32(n_cand)
-        iota = jax.lax.iota(jnp.int32, n_cand)
-        k_top = min(n_tot, n_cand)
-        idx = -jax.lax.top_k(
-            jnp.where(act5.reshape(-1), -iota, -big), k_top)[0]
-        if k_top < n_tot:
-            idx = jnp.concatenate(
-                [idx, jnp.full((n_tot - k_top,), big, jnp.int32)])
-        valid_e = idx < big
-        idx_c = jnp.where(valid_e, idx, 0)
-        pt_e = idx_c // k_cand
-        cls_e = jnp.where(valid_e, top_c.reshape(-1)[idx_c], 0)
-        pt_e = jnp.where(valid_e, pt_e, 0)
+        cand = (top_s > score_thr) & point_valid[:, None] & ok_sel
+        idx, valid_e = _compact_ascending(cand.reshape(-1), n_tot)
+        pt_e = jnp.where(valid_e, idx // k_cand, 0)
+        cls_e = jnp.where(valid_e, top_c.reshape(-1)[idx], 0)
     else:
-        # top_k instead of nonzero (4x cheaper on TPU; identical
-        # ascending-index result)
-        big = jnp.int32(n_cls * p)
-        iota = jax.lax.iota(jnp.int32, n_cls * p)
-        k_top = min(n_tot, n_cls * p)
-        idx = -jax.lax.top_k(
-            jnp.where(active.reshape(-1), -iota, -big), k_top)[0]
-        if k_top < n_tot:
-            idx = jnp.concatenate(
-                [idx, jnp.full((n_tot - k_top,), big, jnp.int32)])
-        valid_e = idx < big
+        idx, valid_e = _compact_ascending(active.reshape(-1), n_tot)
         cls_e = jnp.where(valid_e, idx // p, 0)
         pt_e = jnp.where(valid_e, idx % p, 0)
     # shift at point level first: ONE entry-level gather instead of two

@@ -99,11 +99,12 @@ def _conv_xla(feats, weight, rules, cd):
 
 
 def _dw(feats, g, rules, groups, n_groups, weight_dtype):
-    """Weight gradient — Pallas kernel when eligible, XLA scatter otherwise
-    (CPU).  Both are exact."""
+    """Weight gradient — Pallas kernel when eligible, XLA gather-vjp
+    otherwise (CPU).  Both are exact.  Unlike the forward, the dw kernel
+    has NO Cout cap: its output is the (n_groups, Cin, tpg*Cout) weight
+    block, so wide channels never blow up VMEM."""
     b, w = _kernel_bw(rules.shape[1])
-    if _kernel_ok(rules.shape[1], feats.shape[0], g.shape[1]) or (
-            jax.default_backend() == 'tpu'
+    if (jax.default_backend() == 'tpu'
             and rules.shape[1] % b == 0
             and rules.shape[1] >= _KERNEL_MIN_VOXELS
             and feats.shape[0] >= w):
@@ -258,8 +259,8 @@ def _inv_bwd(res, g):
     gc = g.astype(feats.dtype)
     if _kernel_ok(down_rules.shape[1], g.shape[0], cin):
         from .conv_kernel import down_conv_windowed
-        g_feats = down_conv_windowed(gc, w_t, down_rules, _KERNEL_B,
-                                     _KERNEL_W)
+        b, w = _kernel_bw(down_rules.shape[1])
+        g_feats = down_conv_windowed(gc, w_t, down_rules, b, w)
     else:
         g_feats = _conv_xla(gc, w_t, down_rules, feats.dtype)
     # dW: one big matmul against the recomputed one-hot block matrix

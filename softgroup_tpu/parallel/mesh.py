@@ -103,10 +103,9 @@ def make_train_step(net, cfg, caps, tx, mesh: Mesh | None = None,
 
         (loss, (logs, new_bs)), tgrads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable)
-        grads = {k: (tgrads[k] if k in tgrads
-                     else jax.tree.map(jnp.zeros_like, v))
-                 for k, v in params.items()}
-        return loss, logs, new_bs, grads
+        # return only trainable grads: the mesh path then pmeans only
+        # these (no all-reduce of frozen-module zeros)
+        return loss, logs, new_bs, tgrads
 
     if mesh is not None:
         from jax import shard_map
@@ -131,8 +130,13 @@ def make_train_step(net, cfg, caps, tx, mesh: Mesh | None = None,
             return device_grads(batch, params, batch_stats, rng)
 
     def train_step(state: TrainState, batch, rng):
-        loss, logs, new_bs, grads = grads_fn(batch, state.params,
-                                             state.batch_stats, rng)
+        loss, logs, new_bs, tgrads = grads_fn(batch, state.params,
+                                              state.batch_stats, rng)
+        # zero-fill frozen modules post-pmean; the masked optimizer turns
+        # these into no-op updates
+        grads = {k: (tgrads[k] if k in tgrads
+                     else jax.tree.map(jnp.zeros_like, v))
+                 for k, v in state.params.items()}
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=params, batch_stats=new_bs,

@@ -55,6 +55,31 @@ class TestWindowedConv:
         # kernel computes in bf16 (f32 accumulate)
         np.testing.assert_allclose(out, ref, rtol=0.03, atol=0.05)
 
+    @pytest.mark.parametrize('m_step', [2, 4])
+    def test_subm_m_step_matches_oracle(self, rng, m_step):
+        """Multi-block grid steps (control-overhead amortization lever) must
+        be bit-compatible with m_step=1, including padding-block skipping."""
+        vox = _scene(rng)
+        dims = vox[:, 1:].max(0) + 1
+        rules_np = build_subm_rules_np(vox, dims)
+        v = len(vox)
+        # generous padding so several trailing blocks are pure padding
+        cap = ((v + 127) // 128) * 128 + 128 * m_step * 3
+        cap = ((cap + 128 * m_step - 1) // (128 * m_step)) * (128 * m_step)
+        rules = np.full((27, cap), -1, np.int32)
+        rules[:, :v] = rules_np
+        cin, cout = 16, 8
+        feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+        weight = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+        rules_j = jnp.asarray(rules)
+        ref = np.asarray(subm_conv(feats, weight, rules_j))
+        out = np.asarray(subm_conv_windowed(
+            feats, weight, rules_j, block_b=128, window_w=512,
+            m_step=m_step, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=0.03, atol=0.05)
+        # padding rows are exactly zero
+        assert np.abs(out[v:]).max() == 0.0
+
     def test_down_and_inverse_match_oracle(self, rng):
         vox = _scene(rng)
         coarse, down_rules_np, parent_idx_np, child_tap_np = \

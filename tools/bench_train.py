@@ -56,9 +56,16 @@ def main():
 
     # flagship ScanNet recipe: backbone frozen (fixed_modules), only the
     # refinement stage trains — frozen modules are excluded from
-    # differentiation so their backward is DCE'd
+    # differentiation so their backward is DCE'd.  The net itself carries
+    # fixed_modules so the frozen BNs run in eval mode (no batch-stat
+    # updates), matching tools/train.py's production construction.
+    from softgroup_tpu.model.softgroup import SoftGroupNet
     frozen = ('input_conv', 'unet', 'output_norm', 'semantic_linear',
               'offset_linear')
+    net = SoftGroupNet(channels=net.channels, num_blocks=net.num_blocks,
+                       semantic_classes=net.semantic_classes,
+                       instance_classes=net.instance_classes,
+                       fixed_modules=frozen)
     step_f = make_train_step(net, cfg, caps, tx, mesh=None,
                              frozen_modules=frozen)
     params = state.params
