@@ -78,6 +78,42 @@ class TestModel:
         pv = np.asarray(batch.pyramid.point_valid)
         assert np.isfinite(np.asarray(sem)[pv]).all()
 
+    def test_test_forward_plus_lvl_fusion(self, batch, net_and_vars):
+        """SoftGroup++ lvl_fusion: grouping/refinement on level-0 voxels,
+        voxel-level masks, per-point semantics via p2v
+        (`softgroup.py:309-312,332-341`)."""
+        net, variables = net_and_vars
+        cfg = CFG.copy()
+        cfg.test_cfg.lvl_fusion = True
+        cfg.grouping_cfg.with_pyramid = True
+        cfg.sem2ins_classes = []
+        out = net.apply(variables, batch, cfg, CAPS,
+                        method=net.test_forward_plus)
+        # point-level semantics, identical to the plain path's (the same
+        # backbone output gathered through p2v)
+        ref = net.apply(variables, batch, CFG, CAPS,
+                        method=net.test_forward)
+        np.testing.assert_array_equal(np.asarray(out['semantic_preds']),
+                                      np.asarray(ref['semantic_preds']))
+        # proposal entries live in VOXEL index space
+        n_props = int(out['n_proposals'])
+        assert 0 <= n_props <= CAPS.proposals
+        ev = np.asarray(out['entry_valid'])
+        if ev.any():
+            v0 = int(np.asarray(batch.pyramid.levels[0].vox_valid).sum())
+            assert (np.asarray(out['entry_pt'])[ev] < v0).all()
+        # the host postprocessor expands voxel masks through p2v
+        from softgroup_tpu.evaluation.postprocess import get_instances
+        n = int(np.asarray(batch.pyramid.point_valid).sum())
+        p2v = np.asarray(batch.pyramid.p2v)[:n]
+        outs = {k: np.asarray(v) for k, v in out.items()}
+        inst = get_instances('s', outs, len(
+            np.asarray(batch.pyramid.levels[0].vox_valid)), cfg,
+            v2p_map=p2v)
+        for i in inst:
+            from softgroup_tpu.util.rle import rle_decode
+            assert rle_decode(i['pred_mask']).shape[0] == len(p2v)
+
     def test_loss_forward_and_grads(self, batch, net_and_vars):
         net, variables = net_and_vars
 
