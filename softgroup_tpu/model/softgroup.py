@@ -380,8 +380,14 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
         pt_e = jnp.where(valid_e, idx % p, 0)
     # shift at point level first: ONE entry-level gather instead of two
     shifted_pts = coords_float + pt_offsets.astype(jnp.float32)
-    shifted = shifted_pts[pt_e]
-    group = batch_idxs[pt_e] * n_cls + cls_e
+    # ONE wide row gather carrying the batch id as a 4th f32 column (exact
+    # for < 2^24 scenes): a (E, 3) f32 gather moves a full tile per row
+    # anyway, and the separate 1-D batch_idxs gather costs ~3 ms at bench
+    # scale
+    wide = jnp.concatenate(
+        [shifted_pts, batch_idxs.astype(jnp.float32)[:, None]], axis=1)[pt_e]
+    shifted = wide[:, :3]
+    group = wide[:, 3].astype(jnp.int32) * n_cls + cls_e
 
     # one clustering call for all classes (group key separates them).
     # Default: cell contraction (the SoftGroup++-style pyramid centroid
