@@ -81,7 +81,10 @@ def voxelize_linear(coords: jax.Array, valid: jax.Array, dims: jax.Array,
     first = valid_s & (key_s != prev)
     uid_s = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_unique = jnp.maximum(uid_s[-1] + 1, 0)
-    uid_s = jnp.where(valid_s, jnp.minimum(uid_s, capacity - 1), capacity)
+    # overflow beyond capacity goes to the dustbin row like invalid points
+    # (matching `voxelize`); clipping into capacity-1 would silently merge
+    # distinct voxels into the last row
+    uid_s = jnp.where(valid_s & (uid_s < capacity), uid_s, capacity)
     # voxel table rows via top_k compaction of the first-occurrence
     # positions (ascending — same trick as forward_grouping) + gathers;
     # XLA's scatter alternative costs ~10 ns/row over all n entries

@@ -74,6 +74,28 @@ class TestVoxelize:
         assert (got_p2v[~valid] == cap).all()
         assert np.asarray(vx.vox_valid).sum() == m
 
+    def test_voxelize_linear_overflow_goes_to_dustbin(self, rng):
+        """Voxels beyond capacity must route to the dustbin row (p2v ==
+        capacity), never merge into row capacity-1."""
+        from softgroup_tpu.ops.voxelize import voxelize_linear
+        n = 256
+        # 256 distinct voxels, capacity 128 -> 128 overflow
+        coords = np.stack([np.zeros(n, np.int32),
+                           np.arange(n, dtype=np.int32) % 16,
+                           np.arange(n, dtype=np.int32) // 16,
+                           np.zeros(n, np.int32)], axis=1)
+        cap = 128
+        vx, ckey = voxelize_linear(jnp.asarray(coords), jnp.ones(n, bool),
+                                   DIMS, cap)
+        assert int(vx.n_voxels) == 256  # true count still reported
+        p2v = np.asarray(vx.p2v)
+        in_cap = p2v < cap
+        assert in_cap.sum() == cap
+        # the kept voxels are the lowest-key 128, each with ONE point
+        assert (np.bincount(p2v[in_cap], minlength=cap) == 1).all()
+        # overflow points hit the dustbin, not row cap-1
+        assert (p2v[~in_cap] == cap).all()
+
     def test_voxel_features_mean_and_devoxelize(self, rng):
         n, cap = 200, 256
         coords = random_coords(rng, n, extent=4)
