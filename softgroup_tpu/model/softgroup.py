@@ -363,6 +363,14 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
     # standard thr=0.2 a per-point top-6 provably covers every active
     # entry, shrinking the compaction sort >3x (n_cls=20).
     k_cand = min(n_cls, int(np.floor(1.0 / max(score_thr, 1e-6))) + 1)
+    # shift at point level first: ONE entry-level gather instead of two
+    shifted_pts = coords_float + pt_offsets.astype(jnp.float32)
+    # ONE wide row gather carrying the batch id as a 4th f32 column (exact
+    # for < 2^24 scenes): a (E, 3) f32 gather moves a full tile per row
+    # anyway, and the separate 1-D batch_idxs gather costs ~3 ms at bench
+    # scale
+    wide_src = jnp.concatenate(
+        [shifted_pts, batch_idxs.astype(jnp.float32)[:, None]], axis=1)
     if k_cand < n_cls:
         top_s, top_c = jax.lax.top_k(scores, k_cand)      # (P, k_cand)
         # per-class gates looked up via one-hot compare (tiny tables; a
@@ -372,20 +380,40 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
         ok_sel = (oh & class_ok[None, None, :]).any(-1)
         cand = (top_s > score_thr) & point_valid[:, None] & ok_sel
         idx, valid_e = _compact_ascending(cand.reshape(-1), n_tot)
-        pt_e = jnp.where(valid_e, idx // k_cand, 0)
-        cls_e = jnp.where(valid_e, top_c.reshape(-1)[idx], 0)
+        # pad entries point at the LAST row so pt_e stays non-decreasing
+        # (required by the windowed gather kernel; harmless otherwise —
+        # everything downstream is gated on valid_e)
+        pt_e = jnp.where(valid_e, idx // k_cand, p - 1)
+        if (jax.default_backend() == 'tpu' and n_tot % 256 == 0
+                and p >= 1024):
+            # windowed monotone-gather kernel: the flat candidate index is
+            # point-major, so pt_e is non-decreasing and a block of 256
+            # entries reads a contiguous point window.  The class column
+            # rides along (top_c per point, selected per entry below),
+            # killing the separate (P*k_cand,)[idx] gather.  Sparse entry
+            # patterns can overflow the window — fall back to XLA gathers.
+            from ..ops.gather_kernel import (monotone_gather_f32,
+                                             monotone_window_overflow)
+            n_bad = monotone_window_overflow(pt_e, 256, 1024, p)
+            topc_f = top_c.astype(jnp.float32)
+            wide, ex = jax.lax.cond(
+                n_bad == 0,
+                lambda: monotone_gather_f32(wide_src, pt_e, topc_f,
+                                            block_b=256, window_w=1024),
+                lambda: (wide_src[pt_e], topc_f[pt_e]))
+            slot_oh = (jnp.where(valid_e, idx % k_cand, 0)[:, None]
+                       == jnp.arange(k_cand)[None, :])
+            cls_e = jnp.where(valid_e,
+                              jnp.sum(jnp.where(slot_oh, ex, 0.0),
+                                      axis=1).astype(jnp.int32), 0)
+        else:
+            wide = wide_src[pt_e]
+            cls_e = jnp.where(valid_e, top_c.reshape(-1)[idx], 0)
     else:
         idx, valid_e = _compact_ascending(active.reshape(-1), n_tot)
         cls_e = jnp.where(valid_e, idx // p, 0)
         pt_e = jnp.where(valid_e, idx % p, 0)
-    # shift at point level first: ONE entry-level gather instead of two
-    shifted_pts = coords_float + pt_offsets.astype(jnp.float32)
-    # ONE wide row gather carrying the batch id as a 4th f32 column (exact
-    # for < 2^24 scenes): a (E, 3) f32 gather moves a full tile per row
-    # anyway, and the separate 1-D batch_idxs gather costs ~3 ms at bench
-    # scale
-    wide = jnp.concatenate(
-        [shifted_pts, batch_idxs.astype(jnp.float32)[:, None]], axis=1)[pt_e]
+        wide = wide_src[pt_e]
     shifted = wide[:, :3]
     group = wide[:, 3].astype(jnp.int32) * n_cls + cls_e
 
@@ -396,35 +424,39 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
     # SoftGroup's ballquery_batch_p + BFS.
     m = caps.grouping_cells
     if getattr_or(cfg.grouping_cfg, 'exact_ball_query', False):
-        labels_pt = ball_cluster(shifted, group, valid_e, radius_j)
+        labels = ball_cluster(shifted, group, valid_e, radius_j)
         # per-label sizes in point-index label space
         sizes = jnp.zeros((n_tot + 1,), jnp.float32).at[
-            jnp.where(labels_pt >= 0, labels_pt, n_tot)].add(1.0)
-        labels = labels_pt
+            jnp.where(labels >= 0, labels, n_tot)].add(1.0)
         size_of = sizes[jnp.clip(labels, 0, n_tot - 1)]
+        np_mean = numpoint_mean[cls_e]
+        thr = jnp.where(np_mean == -1.0, npoint_thr, npoint_thr * np_mean)
+        keep = valid_e & (labels >= 0) & (size_of >= thr)
+        key = jnp.where(keep, labels, jnp.iinfo(jnp.int32).max)
+        key_pt = pt_e
     else:
-        from ..ops.grouping import cell_cluster
+        from ..ops.grouping import cell_cluster_csr
         cell_scale = float(getattr_or(cfg.grouping_cfg, 'cell_scale', 1.0))
+        # class-size threshold (bfs_cluster.cpp:70-78) resolved inside at
+        # CELL granularity; entry labels come back already thresholded, in
+        # sorted-entry order with pt_e carried through the bucketing sort —
+        # no entry-scale scatter or label/size gathers at all.
+        thr_cls = jnp.where(numpoint_mean == -1.0, npoint_thr,
+                            npoint_thr * numpoint_mean)
         # pair_keys=False is a config opt-in for bounded scenes (ScanNet)
         # where the single-int32 linear key provably cannot overflow
-        labels, cell_of, clab, cnt = cell_cluster(
-            shifted, group, valid_e, radius_j, cell_scale=cell_scale,
-            m_cap=m, pair_keys=bool(getattr_or(cfg.grouping_cfg,
-                                               'pair_keys', True)))
-        # component sizes + class-size threshold (bfs_cluster.cpp:70-78):
-        # accumulated at cell granularity (labels live in cell-index space)
-        sizes = jnp.zeros((m + 1,), jnp.float32).at[
-            jnp.clip(clab, 0, m)].add(cnt)
-        size_of = sizes[jnp.clip(labels, 0, m - 1)]
-    np_mean = numpoint_mean[cls_e]
-    thr = jnp.where(np_mean == -1.0, npoint_thr, npoint_thr * np_mean)
-    keep = valid_e & (labels >= 0) & (size_of >= thr)
+        ent_label, pt_sorted = cell_cluster_csr(
+            shifted, group, valid_e, pt_e, thr_cls, radius_j,
+            cell_scale=cell_scale, m_cap=m,
+            pair_keys=bool(getattr_or(cfg.grouping_cfg, 'pair_keys', True)))
+        key = jnp.where(ent_label >= 0, ent_label,
+                        jnp.iinfo(jnp.int32).max)
+        key_pt = pt_sorted
 
     # ---- build the global static CSR (:467-480) ---------------------------
     s_cap = caps.proposal_entries
     p_max = caps.proposals
-    key = jnp.where(keep, labels, jnp.iinfo(jnp.int32).max)
-    key_s, pt_s = jax.lax.sort((key, pt_e), num_keys=1)
+    key_s, pt_s = jax.lax.sort((key, key_pt), num_keys=1)
     valid_s = key_s != jnp.iinfo(jnp.int32).max
     prev = jnp.concatenate([jnp.full((1,), -1, key_s.dtype), key_s[:-1]])
     firsts = valid_s & (key_s != prev)

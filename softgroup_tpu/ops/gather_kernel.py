@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: exact windowed row gather for MONOTONE indices.
+
+XLA's row gather on TPU moves a full (16, 128) tile per gathered row
+(~10 ns/row), which makes the entry-building gathers of `forward_grouping`
+(wide point-row gather by `pt_e`, cell-table gather by `cid_s`) cost several
+ms each at bench scale.  Both gathers share a structural property: the index
+vector is NON-DECREASING, so a block of B consecutive outputs reads a
+contiguous source window of <= B rows (the compaction/cumsum that produces
+the indices can only step forward).  The gather then becomes sequential
+window DMAs + one one-hot matmul per block — the same trick as the windowed
+sparse-conv kernel (`conv_kernel.py`), minus the weight transform.
+
+Exactness: the one-hot matmul runs in bf16 on the MXU.  A bf16 one-hot row
+(0.0/1.0, both exact) times a bf16 source value reproduces the value
+exactly, so gathering is exact for bf16 sources.  f32 sources are split
+column-wise into three bf16 components (hi = bf16(x), lo = bf16(x - hi),
+lo2 = bf16(x - hi - lo): 3 x 8 mantissa bits cover the 24-bit f32
+significand), gathered in the same matmul, and re-summed — the classic
+bf16x3 exact-f32 decomposition, at one MXU pass instead of the six of a
+HIGHEST-precision f32 matmul.
+
+Replaces (at inference): the reference's per-proposal/per-class index
+round-trips have no direct analogue — this is the TPU-native cost model
+(softgroup.py:433-473 builds the same entry lists with CUDA gathers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def f32_to_bf16x3(x: jax.Array) -> jax.Array:
+    """(N, C) f32 -> (N, 3C) bf16 exact decomposition (hi | lo | lo2)."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    lo = r.astype(jnp.bfloat16)
+    lo2 = (r - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo, lo2], axis=1)
+
+
+def bf16x3_sum(y: jax.Array, c: int) -> jax.Array:
+    """(N, 3C[+extra]) f32 partial gathers -> (N, C) exact f32 sum."""
+    return y[:, :c] + y[:, c:2 * c] + y[:, 2 * c:3 * c]
+
+
+def _gather_kernel(ws_ref, lidx_ref, src_ref, out_ref, win, sems, *,
+                   b: int, w: int, nb: int, cp: int):
+    blk = pl.program_id(0)
+    slot = jax.lax.rem(blk, 2)
+    nxt = jax.lax.rem(blk + 1, 2)
+
+    def start_dma(slot_i, blk_i):
+        start = pl.multiple_of(ws_ref[0, blk_i] * 16, 16)
+        pltpu.make_async_copy(src_ref.at[pl.ds(start, w)],
+                              win.at[slot_i], sems.at[slot_i]).start()
+
+    @pl.when(blk == 0)
+    def _():
+        start_dma(0, 0)
+
+    @pl.when(blk + 1 < nb)
+    def _():
+        start_dma(nxt, blk + 1)
+
+    pltpu.make_async_copy(src_ref.at[pl.ds(pl.multiple_of(
+        ws_ref[0, blk] * 16, 16), w)], win.at[slot], sems.at[slot]).wait()
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    oh = (lidx_ref[0][:, None] == iota).astype(jnp.bfloat16)
+    out_ref[:] = jax.lax.dot(
+        oh, win[slot], precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('block_b', 'window_w',
+                                             'interpret'))
+def monotone_row_gather(src: jax.Array, idx: jax.Array, block_b: int = 256,
+                        window_w: int = 384,
+                        interpret: bool = False) -> jax.Array:
+    """out[i] = src[idx[i]] for non-decreasing int32 ``idx``.
+
+    Args:
+      src: (V, C) bf16 source rows, C <= 128 (pad columns outside if the
+        logical payload needs the f32 split — see f32_to_bf16x3).
+      idx: (E,) int32, non-decreasing, values in [0, V).  E % block_b == 0,
+        V >= window_w.  Entries whose window span exceeds window_w - 16
+        (impossible when idx is non-decreasing and window_w >= block_b + 16)
+        would read as zero.
+    Returns:
+      (E, C) f32 gathered rows.
+    """
+    v, c = src.shape
+    e = idx.shape[0]
+    b, w = block_b, window_w
+    assert e % b == 0 and v >= w and w >= b + 16, (e, b, v, w)
+    nb = e // b
+
+    cp = c
+    if c % 128:
+        src = jnp.pad(src, ((0, 0), (0, 128 - c % 128)))
+        cp = src.shape[1]
+
+    blk_min = idx.reshape(nb, b).min(axis=1)
+    starts = (jnp.clip(blk_min, 0, max(v - w, 0)) // 16)[None, :]  # (1, nb)
+    local = idx - starts[0].repeat(b) * 16
+    local = jnp.where((local >= 0) & (local < w), local, -1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, b), lambda i, ws: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # src
+        ],
+        out_specs=pl.BlockSpec((b, cp), lambda i, ws: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, w, cp), src.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_gather_kernel, b=b, w=w, nb=nb, cp=cp)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, cp), jnp.float32),
+        interpret=interpret,
+    )(starts, local[None, :], src)
+    return out[:, :c]
+
+
+def monotone_window_overflow(idx: jax.Array, block_b: int,
+                             window_w: int, v: int) -> jax.Array:
+    """Number of entries whose row would fall outside its block's window —
+    the caller can `lax.cond` to a plain XLA gather when nonzero (possible
+    for monotone index streams whose per-block span exceeds window_w, e.g.
+    sparse entry patterns)."""
+    nb = idx.shape[0] // block_b
+    blk_min = idx.reshape(nb, block_b).min(axis=1)
+    starts = (jnp.clip(blk_min, 0, max(v - window_w, 0)) // 16) * 16
+    local = idx - starts.repeat(block_b)
+    return jnp.sum((local < 0) | (local >= window_w))
+
+
+def monotone_gather_f32(src: jax.Array, idx: jax.Array, extra: jax.Array
+                        | None = None, block_b: int = 256,
+                        window_w: int = 384, interpret: bool = False):
+    """Exact f32 row gather for non-decreasing ``idx``.
+
+    src (V, C) f32 is bf16x3-split (3C columns); ``extra`` (V, Cx) optional
+    bf16-exact columns (small ints, flags) ride along in the same matmul.
+    Returns (E, C) f32 [, (E, Cx) f32].
+    """
+    c = src.shape[1]
+    cols = f32_to_bf16x3(src)
+    cx = 0
+    if extra is not None:
+        cx = extra.shape[1]
+        cols = jnp.concatenate([cols, extra.astype(jnp.bfloat16)], axis=1)
+    got = monotone_row_gather(cols, idx, block_b=block_b, window_w=window_w,
+                              interpret=interpret)
+    out = bf16x3_sum(got, c)
+    if extra is None:
+        return out
+    return out, got[:, 3 * c:3 * c + cx]

@@ -87,6 +87,77 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     cell_count (m,) float32 entries per cell.
     """
     n = shifted.shape[0]
+    m = m_cap or n
+    core = _cell_core(shifted, group, valid, jnp.arange(n, dtype=jnp.int32),
+                      radius, cell_scale, max_rounds, m, pair_keys)
+    order, cid_s, clab, cnt = (core['payload_s'], core['cid_s'],
+                               core['clab'], core['cnt'])
+    cell_of = jnp.zeros((n,), jnp.int32).at[order].set(cid_s)
+    cell_of = jnp.where(valid, cell_of, m)
+    in_range = valid & (cell_of < m)
+    labels = jnp.where(in_range, clab[jnp.clip(cell_of, 0, m - 1)], -1)
+    labels = jnp.where(labels >= m, -1, labels)
+    return labels, cell_of, clab, cnt
+
+
+def cell_cluster_csr(shifted: jax.Array, group: jax.Array, valid: jax.Array,
+                     payload: jax.Array, thr_of_group: jax.Array, radius,
+                     cell_scale: float = 0.5, max_rounds: int = 96,
+                     m_cap: int | None = None, pair_keys: bool = True):
+    """cell_cluster + component-size thresholding, in SORTED-entry space.
+
+    The CSR-building fast path for `forward_grouping`: instead of scattering
+    cell ids back to entry order and gathering labels + component sizes per
+    entry (three ~10 ns/row ops at entry scale), this carries `payload`
+    (e.g. the entry's point index) through the bucketing sort, applies the
+    size threshold at CELL level (cells are group-pure), and resolves each
+    sorted entry's final label with ONE gather from a small (m+1,) table
+    whose indices (`cid_s`) are non-decreasing.
+
+    Args:
+      payload: (N,) int32 carried through the sort.
+      thr_of_group: (n_classes,) f32 minimum component size (in entries) per
+        class; cells look their threshold up as thr_of_group[group % n_cls]
+        (group = batch * n_classes + class in fused class-wise grouping).
+    Returns:
+      (ent_label, payload_s): both (N,) int32 in sorted-entry order;
+      ent_label is the component id in cell-index space, -1 for invalid /
+      dropped / below-threshold entries.  Valid entries form a prefix.
+    """
+    n = shifted.shape[0]
+    m = m_cap or n
+    core = _cell_core(shifted, group, valid, payload.astype(jnp.int32),
+                      radius, cell_scale, max_rounds, m, pair_keys)
+    clab, cnt, cell_valid = core['clab'], core['cnt'], core['cell_valid']
+    # component sizes + threshold, all at cell scale (m << N)
+    sizes = jnp.zeros((m + 1,), jnp.float32).at[
+        jnp.clip(clab, 0, m)].add(cnt)
+    comp_size = sizes[jnp.clip(clab, 0, m - 1)]
+    thr_cell = thr_of_group[core['cell_group'] % thr_of_group.shape[0]]
+    lab_cell = jnp.where(cell_valid & (clab >= 0) & (clab < m)
+                         & (comp_size >= thr_cell), clab, -1)
+    tab = jnp.concatenate([lab_cell, jnp.full((1,), -1, jnp.int32)])
+    cid_s = core['cid_s']
+    if (jax.default_backend() == 'tpu' and n % 256 == 0 and n >= 256
+            and m + 1 >= 384):
+        # cid_s is non-decreasing with increments <= 1, so its per-block
+        # span is <= block_b: the windowed gather kernel never overflows
+        # here (labels are < 2^24, exact through the bf16x3 split)
+        from .gather_kernel import monotone_gather_f32
+        ent_label = monotone_gather_f32(
+            tab.astype(jnp.float32)[:, None], cid_s, block_b=256,
+            window_w=384)[:, 0].astype(jnp.int32)
+    else:
+        ent_label = tab[cid_s]                      # monotone-index gather
+    return ent_label, core['payload_s']
+
+
+def _cell_core(shifted, group, valid, payload, radius, cell_scale,
+               max_rounds, m, pair_keys):
+    """Shared core of cell_cluster / cell_cluster_csr: bucket, sort (carrying
+    `payload`), build per-cell tables, resolve neighbour cells, label
+    propagation.  Returns a dict of sorted-space and cell-space arrays."""
+    n = shifted.shape[0]
     s = radius * cell_scale
     reach = int(np.ceil(1.0 / cell_scale))
 
@@ -108,19 +179,16 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     hi = jnp.where(valid, hi, _INT_MAX)
     lo = jnp.where(valid, lo, _INT_MAX)
 
-    m = m_cap or n  # contracted-cell capacity (cells << entries in practice;
-    # overflow cells beyond the cap are dropped deterministically)
-
     idxs = jnp.arange(n, dtype=jnp.int32)
-    # one sort carries the entry index and coords with the key (pair keys:
+    # one sort carries the entry payload and coords with the key (pair keys:
     # two leading operands; single: just lo)
     if pair_keys:
-        hi_s, lo_s, order, xs, ys, zs = jax.lax.sort(
-            (hi, lo, idxs, shifted[:, 0], shifted[:, 1], shifted[:, 2]),
+        hi_s, lo_s, payload_s, xs, ys, zs = jax.lax.sort(
+            (hi, lo, payload, shifted[:, 0], shifted[:, 1], shifted[:, 2]),
             num_keys=2)
     else:
-        lo_s, order, xs, ys, zs = jax.lax.sort(
-            (lo, idxs, shifted[:, 0], shifted[:, 1], shifted[:, 2]),
+        lo_s, payload_s, xs, ys, zs = jax.lax.sort(
+            (lo, payload, shifted[:, 0], shifted[:, 1], shifted[:, 2]),
             num_keys=1)
         hi_s = jnp.where(lo_s != _INT_MAX, 0, _INT_MAX)
     valid_s = lo_s != _INT_MAX
@@ -131,8 +199,6 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     n_cells = jnp.maximum(cid_s[-1] + 1, 0)
     n_valid = valid_s.sum()
     cid_s = jnp.where(valid_s & (cid_s < m), cid_s, m)
-    cell_of = jnp.zeros((n,), jnp.int32).at[order].set(cid_s)
-    cell_of = jnp.where(valid, cell_of, m)
 
     # per-cell tables from the sorted prefix: first/last entry positions via
     # top_k compaction (no scatters)
@@ -208,10 +274,15 @@ def cell_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
         lambda st: st[1] & (st[2] < max_rounds), body,
         (init, jnp.bool_(True), jnp.int32(0)))
 
-    in_range = valid & (cell_of < m)
-    labels = jnp.where(in_range, clab[jnp.clip(cell_of, 0, m - 1)], -1)
-    labels = jnp.where(labels >= m, -1, labels)
-    return labels, cell_of, clab, cnt
+    # group id of each cell, decoded from its key (cells are group-pure)
+    if pair_keys:
+        cell_group = jnp.where(cell_valid, chi // dims[0], 0)
+    else:
+        cell_group = jnp.where(cell_valid,
+                               clo // (dims[0] * dims[1] * dims[2]), 0)
+    return dict(payload_s=payload_s, cid_s=cid_s, valid_s=valid_s,
+                clab=clab, cnt=cnt, cell_valid=cell_valid,
+                cell_group=cell_group)
 
 
 def ball_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,

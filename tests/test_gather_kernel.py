@@ -1,0 +1,72 @@
+"""Windowed monotone row-gather kernel vs numpy oracle (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from softgroup_tpu.ops.gather_kernel import (bf16x3_sum, f32_to_bf16x3,
+                                             monotone_gather_f32,
+                                             monotone_row_gather,
+                                             monotone_window_overflow)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(7)
+
+
+class TestSplit:
+    def test_bf16x3_roundtrip_exact(self, rng):
+        x = (rng.randn(64, 3) * 50).astype(np.float32)
+        y = f32_to_bf16x3(jnp.asarray(x))
+        back = bf16x3_sum(
+            jnp.concatenate([y[:, :3].astype(jnp.float32),
+                             y[:, 3:6].astype(jnp.float32),
+                             y[:, 6:9].astype(jnp.float32)], axis=1), 3)
+        assert (np.asarray(back) == x).all()
+
+
+class TestMonotoneGather:
+    def test_matches_oracle_bf16(self, rng):
+        v, e, b, w = 1024, 512, 128, 192
+        src = rng.randn(v, 8).astype(np.float32)
+        srcb = jnp.asarray(src).astype(jnp.bfloat16)
+        idx = np.sort(rng.randint(0, v, size=e)).astype(np.int32)
+        got = monotone_row_gather(srcb, jnp.asarray(idx), block_b=b,
+                                  window_w=w, interpret=True)
+        ref = np.asarray(srcb)[idx].astype(np.float32)
+        ok = monotone_window_overflow(jnp.asarray(idx), b, w, v)
+        if int(ok) == 0:
+            assert np.array_equal(np.asarray(got), ref)
+
+    def test_exact_f32_with_extra(self, rng):
+        v, e = 2048, 1024
+        src = (rng.randn(v, 4) * 100).astype(np.float32)
+        extra = rng.randint(0, 20, size=(v, 6)).astype(np.float32)
+        # dense monotone indices: span per block <= b
+        idx = np.sort(rng.randint(0, v, size=e)).astype(np.int32)
+        n_bad = int(monotone_window_overflow(jnp.asarray(idx), 256, 1024, v))
+        out, ex = monotone_gather_f32(jnp.asarray(src), jnp.asarray(idx),
+                                      jnp.asarray(extra), block_b=256,
+                                      window_w=1024, interpret=True)
+        assert n_bad == 0
+        assert np.array_equal(np.asarray(out), src[idx])
+        assert np.array_equal(np.asarray(ex), extra[idx])
+
+    def test_slowly_increasing_index_never_overflows(self, rng):
+        # cid_s-style stream: increments of 0/1 — span per block <= b
+        v, e, b, w = 4096, 2048, 256, 384
+        idx = np.cumsum(rng.randint(0, 2, size=e)).astype(np.int32)
+        assert idx[-1] < v
+        src = rng.randn(v, 1).astype(np.float32)
+        assert int(monotone_window_overflow(jnp.asarray(idx), b, w, v)) == 0
+        out = monotone_gather_f32(jnp.asarray(src), jnp.asarray(idx),
+                                  block_b=b, window_w=w, interpret=True)
+        assert np.array_equal(np.asarray(out), src[idx])
+
+    def test_overflow_detected_on_sparse_stream(self, rng):
+        # big jumps: per-block span >> window
+        e, b, w = 512, 128, 192
+        idx = (np.arange(e, dtype=np.int32) * 37)
+        v = int(idx[-1]) + 1
+        assert int(monotone_window_overflow(jnp.asarray(idx), b, w, v)) > 0

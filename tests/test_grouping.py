@@ -145,3 +145,69 @@ class TestCellCluster:
         pts[:, 0] = np.arange(m) * 0.03  # consecutive cells connect
         got = self.run(pts, np.zeros(m, np.int32), 0.04)
         assert len(canon(got)) == 1
+
+
+class TestCellClusterCSR:
+    """cell_cluster_csr (sorted-space fast path) must produce the same
+    thresholded partition as cell_cluster + entry-level size gating."""
+
+    def both(self, pts, group, valid, payload, thr_cls, radius, **kw):
+        from softgroup_tpu.ops.grouping import cell_cluster, cell_cluster_csr
+        n = len(pts)
+        pts_j, g_j = jnp.asarray(pts), jnp.asarray(group)
+        v_j = jnp.asarray(valid)
+        # legacy path + explicit per-entry threshold
+        labels, _, clab, cnt = cell_cluster(pts_j, g_j, v_j, radius, **kw)
+        m = kw.get('m_cap') or n
+        sizes = np.zeros(m + 1, np.float32)
+        np.add.at(sizes, np.clip(np.asarray(clab), 0, m), np.asarray(cnt))
+        labels = np.asarray(labels)
+        size_of = sizes[np.clip(labels, 0, m - 1)]
+        thr = thr_cls[np.asarray(group) % len(thr_cls)]
+        keep = valid & (labels >= 0) & (size_of >= thr)
+        legacy = np.where(keep, labels, -1)
+        # fast path
+        ent_label, payload_s = cell_cluster_csr(
+            pts_j, g_j, v_j, jnp.asarray(payload), jnp.asarray(thr_cls),
+            radius, **kw)
+        return legacy, np.asarray(ent_label), np.asarray(payload_s)
+
+    def test_matches_legacy_with_threshold(self, rng):
+        n_cls = 3
+        centers = np.array([[0, 0, 0], [1.0, 0, 0], [0, 1.0, 0],
+                            [1.0, 1.0, 0]])
+        sizes = [50, 30, 8, 3]
+        pts = np.concatenate(
+            [c + rng.randn(s, 3) * 0.01 for c, s in zip(centers, sizes)]
+        ).astype(np.float32)
+        n = len(pts)
+        cls = np.concatenate(
+            [np.full(s, i % n_cls, np.int32) for i, s in enumerate(sizes)])
+        group = cls.astype(np.int32)  # batch 0: group == class
+        valid = np.ones(n, bool)
+        payload = np.arange(n, dtype=np.int32)
+        thr_cls = np.array([10.0, 5.0, 100.0], np.float32)
+        legacy, ent_label, payload_s = self.both(
+            pts, group, valid, payload, thr_cls, 0.05)
+        # compare as (payload -> label) maps: fast path is in sorted order
+        fast = np.full(n, -1, np.int64)
+        fast[payload_s] = ent_label
+        # same kept-entry sets per cluster
+        assert canon(fast) == canon(legacy)
+        # last blob (class 0, size 3 < thr 10) must be dropped entirely
+        assert (fast[-3:] == -1).all()
+
+    def test_padding_and_invalid(self, rng):
+        pts = np.zeros((64, 3), np.float32)
+        pts[:32, 0] = np.arange(32) * 0.001
+        valid = np.arange(64) < 32
+        group = np.zeros(64, np.int32)
+        payload = np.arange(64, dtype=np.int32)
+        legacy, ent_label, payload_s = self.both(
+            pts, group, valid, payload, np.array([1.0], np.float32), 0.05)
+        # invalid entries -> -1, valid entries form a prefix
+        fast = np.full(64, -1, np.int64)
+        fast[payload_s] = ent_label
+        assert (fast[32:] == -1).all()
+        assert (ent_label[:32] >= 0).all() and (ent_label[32:] == -1).all()
+        assert canon(fast) == canon(legacy)

@@ -61,8 +61,9 @@ def main():
         print(f'level {lvl}: V_real={v_real} cap={cap} C={c} '
               f'valid taps={n_valid}')
         configs = [(b, w, m) for b, w in
-                   [(128, 256), (256, 384), (384, 512)]
-                   for m in (1, 2, 4, 8) if cap % (b * m) == 0]
+                   [(64, 128), (64, 160), (96, 176), (128, 192), (128, 256),
+                    (256, 384), (384, 512)]
+                   for m in (1, 2, 4, 8, 16) if cap % (b * m) == 0]
         best = {c: np.inf for c in configs}
         drops = {}
         # 3 interleaved passes: the tunnelled chip drifts ~2x between
