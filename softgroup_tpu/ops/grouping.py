@@ -238,6 +238,7 @@ def _cell_core(shifted, group, valid, payload, radius, cell_scale,
     ok = cell_valid[None, :] \
         & (offs[:, :, None] + in_lo.T[None] >= 0).all(axis=1) \
         & (offs[:, :, None] <= in_hi.T[None]).all(axis=1)
+    gated = False
     if pair_keys:
         q_hi = jnp.where(ok, chi[None, :] + d_hi[:, None], _INT_MAX)
         q_lo = jnp.where(ok, clo[None, :] + d_lo[:, None], _INT_MAX)
@@ -246,16 +247,25 @@ def _cell_core(shifted, group, valid, payload, radius, cell_scale,
     else:
         d_lin = (d_hi * dims[1] + offs[:, 1]) * dims[2] + offs[:, 2]
         q = jnp.where(ok, clo[None, :] + d_lin[:, None], _INT_MAX)
-        pos = jnp.searchsorted(clo, q.reshape(-1), side='left',
-                               method='sort') \
-            .astype(jnp.int32).reshape(n_off, m)
-        pc = jnp.clip(pos, 0, m - 1)
-        hit = ok & (pos < m) & (clo[pc] == q)
-        cand = jnp.where(hit, pc, -1).T                   # (m, n_off)
-    # centroid distance gate (the radius semantics of the pyramid query)
-    cc = jnp.clip(cand, 0, m - 1)
-    d2 = jnp.sum(jnp.square(centroid[:, None, :] - centroid[cc]), axis=-1)
-    cand = jnp.where((cand >= 0) & (d2 <= radius * radius), cand, -1)
+        if jax.default_backend() == 'tpu' and m % 256 == 0 and m >= 512:
+            # windowed monotone searchsorted-join kernel: positions, hit
+            # test, and the centroid radius gate fused in one pass
+            from .join_kernel import monotone_key_join
+            cand = monotone_key_join(clo, centroid, q, radius).T  # (m, n_off)
+            gated = True
+        else:
+            pos = jnp.searchsorted(clo, q.reshape(-1), side='left',
+                                   method='sort') \
+                .astype(jnp.int32).reshape(n_off, m)
+            pc = jnp.clip(pos, 0, m - 1)
+            hit = ok & (pos < m) & (clo[pc] == q)
+            cand = jnp.where(hit, pc, -1).T               # (m, n_off)
+    if not gated:
+        # centroid distance gate (the radius semantics of the pyramid query)
+        cc = jnp.clip(cand, 0, m - 1)
+        d2 = jnp.sum(jnp.square(centroid[:, None, :] - centroid[cc]),
+                     axis=-1)
+        cand = jnp.where((cand >= 0) & (d2 <= radius * radius), cand, -1)
     cand_c = jnp.clip(cand, 0, m - 1)
     cand_ok = cand >= 0
 
