@@ -245,15 +245,19 @@ def _cell_core(shifted, group, valid, payload, radius, cell_scale,
         cand = K.lookup(q_hi.reshape(-1), q_lo.reshape(-1), chi, clo,
                         cell_valid).reshape(n_off, m).T   # (m, n_off)
     else:
-        d_lin = (d_hi * dims[1] + offs[:, 1]) * dims[2] + offs[:, 2]
-        q = jnp.where(ok, clo[None, :] + d_lin[:, None], _INT_MAX)
         if jax.default_backend() == 'tpu' and m % 256 == 0 and m >= 512:
-            # windowed monotone searchsorted-join kernel: positions, hit
-            # test, and the centroid radius gate fused in one pass
-            from .join_kernel import monotone_key_join
-            cand = monotone_key_join(clo, centroid, q, radius).T  # (m, n_off)
+            # windowed monotone neighbour-cell join kernel: the queries are
+            # rebuilt in-kernel from keys + coarse coords (bounds test
+            # included) and the centroid radius gate is fused in — the
+            # (n_off, m) query matrix is never materialised
+            from .join_kernel import cell_neighbor_join
+            cand = cell_neighbor_join(
+                clo, centroid, ccoord, dims,
+                tuple(map(tuple, offs_np.tolist())), radius).T  # (m, n_off)
             gated = True
         else:
+            d_lin = (d_hi * dims[1] + offs[:, 1]) * dims[2] + offs[:, 2]
+            q = jnp.where(ok, clo[None, :] + d_lin[:, None], _INT_MAX)
             pos = jnp.searchsorted(clo, q.reshape(-1), side='left',
                                    method='sort') \
                 .astype(jnp.int32).reshape(n_off, m)

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: windowed monotone searchsorted-join with centroid gate.
+"""Pallas TPU kernel: windowed monotone neighbour-cell join with centroid gate.
 
 The neighbour-cell lookup of the grouping's cell graph asks, for each of the
 26 Chebyshev offsets d and each cell i (sorted by linear key), "which table
@@ -6,21 +6,25 @@ index holds key[i] + enc(d), and is its centroid within the grouping
 radius?".  As plain XLA this is a 26*m-query sort join (`jnp.searchsorted`
 method='sort': variadic sort + unsort scatter) followed by 26*m row gathers
 of the (m, 3) centroid table — together ~10 ms at bench scale, all of it
-index shuffling.
+index shuffling — plus ~5 ms just materialising and re-laying-out the
+(26, m) query matrix.
 
-Structure to exploit: the table keys are sorted and each query row is
-`keys + const`, so every query row is NON-DECREASING.  A block of B
+Structure to exploit: the table keys are sorted and each offset's query row
+is `keys + const`, so every query row is NON-DECREASING.  A block of B
 consecutive queries therefore matches a contiguous table window, exactly
 like the windowed conv/gather kernels (`conv_kernel.py`,
 `gather_kernel.py`):
 
-  * a tiny exact searchsorted over the 2*R*nb block-boundary queries
+  * queries are never materialised: the kernel rebuilds them from the key
+    block, the per-cell coarse coords, and the per-offset scalars
+    (delta-key, offset vector, grid dims) — the bounds test included;
+  * a tiny exact searchsorted over the 2*R*nb block-boundary key extremes
     (~3.3k elements — negligible) gives each block its window start and an
     exact overflow test;
-  * the kernel DMAs the key window (w, 1) int32 and the bf16x3-split
-    centroid window (w, 128; bf16x3 in the first 9 lanes, lane-padded to a
-    full tile for the manual DMA), computes the in-window position as a
-    `sum(win < q)` VPU count, the hit as a key-equality one-hot, the
+  * the kernel DMAs the key window (1, w) int32 (lane-major) and the
+    bf16x3-split centroid window (w, 128; first 9 lanes used, lane-padded
+    to a full tile for the manual DMA), computes the in-window position as
+    a `sum(win < q)` VPU count, the hit as a key-equality one-hot, the
     candidate centroid as `onehot @ window` on the MXU (exact f32 via
     bf16x3), and applies the radius gate in-register;
   * a `lax.cond` falls back to the XLA join when any block's window
@@ -47,8 +51,9 @@ from .gather_kernel import f32_to_bf16x3
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def _join_kernel(ws_ref, r2_ref, qblk_ref, qpay_ref, keys_hbm, pay_hbm,
-                 out_ref, kwin, pwin, sems, *, b: int, w: int, nb: int):
+def _join_kernel(ws_ref, meta_ref, r2_ref, kblk_ref, cblk_ref, qpay_ref,
+                 keys_hbm, pay_hbm, out_ref, kwin, pwin, sems,
+                 *, b: int, w: int, nb: int):
     r = pl.program_id(0)
     j = pl.program_id(1)
     blk = r * nb + j
@@ -80,64 +85,87 @@ def _join_kernel(ws_ref, r2_ref, qblk_ref, qpay_ref, keys_hbm, pay_hbm,
     pltpu.make_async_copy(pay_hbm.at[pl.ds(start, w)],
                           pwin.at[slot], sems.at[slot, 1]).wait()
 
+    # rebuild this block's queries: q = key + delta(offset r), masked by the
+    # grid bounds test on the cell's coarse coords (grouping.py `ok`)
+    dlin = meta_ref[r, 0]
+    ox, oy, oz = meta_ref[r, 1], meta_ref[r, 2], meta_ref[r, 3]
+    d0, d1, d2 = meta_ref[0, 4], meta_ref[0, 5], meta_ref[0, 6]
+    key_b = kblk_ref[0, :]                              # (b,) lanes
+    cx, cy, cz = cblk_ref[0, :], cblk_ref[1, :], cblk_ref[2, :]
+    okv = ((key_b != _INT_MAX)
+           & (cx + ox >= 0) & (ox <= d0 - 1 - cx)
+           & (cy + oy >= 0) & (oy <= d1 - 1 - cy)
+           & (cz + oz >= 0) & (oz <= d2 - 1 - cz))
+    qv = jnp.where(okv, key_b + dlin, _INT_MAX)
+
     wk = kwin[slot][0, :][None, :]                      # (1, w) int32
-    q = qblk_ref[0, :][:, None]                         # (b, 1) int32
+    q = qv[:, None]                                     # (b, 1) int32
     validw = wk != _INT_MAX
     lt = jnp.sum(((wk < q) & validw).astype(jnp.int32), axis=1)   # (b,)
     eq = (wk == q) & validw                             # (b, w)
     hit = jnp.any(eq, axis=1)
     oh = eq.astype(jnp.bfloat16)
     cc = jax.lax.dot(oh, pwin[slot],
-                     preferred_element_type=jnp.float32)          # (b, 16)
+                     preferred_element_type=jnp.float32)          # (b, 128)
     ccf = cc[:, 0:3] + cc[:, 3:6] + cc[:, 6:9]
     qp = qpay_ref[...].astype(jnp.float32)
     qcf = qp[:, 0:3] + qp[:, 3:6] + qp[:, 6:9]
-    d2 = jnp.sum(jnp.square(qcf - ccf), axis=1)
-    out_ref[0, :] = jnp.where(hit & (d2 <= r2_ref[0]), start + lt, -1)
+    d2c = jnp.sum(jnp.square(qcf - ccf), axis=1)
+    out_ref[0, :] = jnp.where(hit & (d2c <= r2_ref[0]), start + lt, -1)
 
 
-@functools.partial(jax.jit, static_argnames=('block_b', 'window_w',
+@functools.partial(jax.jit, static_argnames=('offs', 'block_b', 'window_w',
                                              'interpret', 'force_kernel'))
-def monotone_key_join(table_keys: jax.Array, centroid: jax.Array,
-                      queries: jax.Array, radius,
-                      block_b: int = 256, window_w: int = 512,
-                      interpret: bool = False,
-                      force_kernel: bool = False) -> jax.Array:
-    """cand[r, i] = j such that table_keys[j] == queries[r, i] and
-    ||centroid[j] - centroid[i]|| <= radius, else -1.
+def cell_neighbor_join(table_keys: jax.Array, centroid: jax.Array,
+                       ccoord: jax.Array, dims: jax.Array,
+                       offs: tuple, radius,
+                       block_b: int = 256, window_w: int = 512,
+                       interpret: bool = False,
+                       force_kernel: bool = False) -> jax.Array:
+    """cand[r, i] = j such that table_keys[j] == table_keys[i] + dlin(r) and
+    ||centroid[j] - centroid[i]|| <= radius, else -1 — with the grid bounds
+    test `0 <= ccoord[i] + offs[r] < dims` applied to each query.
 
     Args:
-      table_keys: (m,) int32, sorted ascending, unique among valid entries,
-        padded with INT_MAX.
-      centroid: (m, 3) f32 per-cell centroids (row i = query cell i's own
-        centroid; the gate compares centroid[i] vs centroid[cand]).
-      queries: (R, m) int32; each row non-decreasing over its valid
-        (< INT_MAX) entries.  m % block_b == 0.
-      radius: gate threshold (scalar; may be traced — pyramid mode scales
-        it at runtime).
+      table_keys: (m,) int32 linear cell keys
+        ((x * dims[1] + y) * dims[2] + z), sorted ascending, unique among
+        valid entries, padded with INT_MAX.
+      centroid: (m, 3) f32 per-cell centroids.
+      ccoord: (m, 3) int32 per-cell coarse coords (>= 0).
+      dims: (3,) int32 grid extent (traced OK).
+      offs: static tuple of R (dx, dy, dz) neighbour offsets.
+      radius: centroid gate threshold (scalar; may be traced).
     Returns:
-      (R, m) int32 candidate table indices (-1 = miss or gated out).
+      (R, m) int32 candidate table indices (-1 = miss, bounds-fail, or
+      gated out).
     """
     m = table_keys.shape[0]
-    rdim, mq = queries.shape
+    offs_np = np.asarray(offs, np.int32)
+    rdim = len(offs_np)
     b, w = block_b, window_w
-    assert mq == m and m % b == 0 and m >= w, (m, b, w)
+    assert m % b == 0 and m >= w, (m, b, w)
     # window starts are floored to 128-lane alignment, so a dense block of b
     # queries can span up to b + 127 table rows
     assert w % 128 == 0 and w >= b + 128, (b, w)
     nb = m // b
 
+    dims = jnp.asarray(dims, jnp.int32)
+    d_lin = ((offs_np[:, 0] * dims[1] + offs_np[:, 1]) * dims[2]
+             + offs_np[:, 2]).astype(jnp.int32)          # (R,) traced
+
     pay = f32_to_bf16x3(centroid)                       # (m, 9)
     pay = jnp.pad(pay, ((0, 0), (0, 128 - pay.shape[1])))
 
-    # exact block-boundary positions via one small sort join: 'left' of the
-    # block-min query and 'left' of (block-max query + 1) == 'right' of max
-    qr = queries.reshape(rdim, nb, b)
-    lo_q = qr.min(axis=2)
-    hi_q = jnp.where(qr != _INT_MAX, qr, jnp.int32(-1)).max(axis=2)
-    bnd = jnp.concatenate(
-        [lo_q.reshape(-1),
-         jnp.where(hi_q < _INT_MAX - 1, hi_q + 1, hi_q).reshape(-1)])
+    # exact block-boundary positions via one small sort join over the block
+    # key extremes (bounds-masking ignored: it only loosens the windows)
+    kb = table_keys.reshape(nb, b)
+    lo_k = kb.min(axis=1)
+    hi_k = jnp.where(kb != _INT_MAX, kb, jnp.int32(-1)).max(axis=1)
+    lo_q = jnp.where(lo_k[None, :] != _INT_MAX,
+                     lo_k[None, :] + d_lin[:, None], _INT_MAX)  # (R, nb)
+    hi_q = jnp.where(hi_k[None, :] >= 0,
+                     hi_k[None, :] + d_lin[:, None] + 1, jnp.int32(-1))
+    bnd = jnp.concatenate([lo_q.reshape(-1), hi_q.reshape(-1)])
     pos = jnp.searchsorted(table_keys, bnd, side='left',
                            method='sort').astype(jnp.int32)
     pos_lo = pos[:rdim * nb]
@@ -147,22 +175,27 @@ def monotone_key_join(table_keys: jax.Array, centroid: jax.Array,
     overflow = jnp.any(has_valid & (pos_hi > starts + w))
 
     r2 = jnp.asarray(radius, jnp.float32).reshape(1) ** 2
+    meta = jnp.concatenate(
+        [d_lin[:, None], jnp.broadcast_to(jnp.asarray(offs_np), (rdim, 3)),
+         jnp.broadcast_to(dims[None, :], (rdim, 3)),
+         jnp.zeros((rdim, 1), jnp.int32)], axis=1)       # (R, 8)
+
+    coord_t = jnp.pad(ccoord.T, ((0, 5), (0, 0)))        # (8, m) int32
 
     def run_kernel(args):
-        table_keys, pay, queries, starts = args
+        table_keys, pay, coord_t, starts = args
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(rdim, nb),
             in_specs=[
-                # queries flattened to (1, R*m): a (1, b) block of a 2-D
-                # array with leading dim 1 satisfies the Mosaic tiling rule
-                pl.BlockSpec((1, b), lambda r, j, ws, rr: (0, r * nb + j)),
-                pl.BlockSpec((b, 128), lambda r, j, ws, rr: (j, 0)),
+                pl.BlockSpec((1, b), lambda r, j, ws, mt, rr: (0, j)),
+                pl.BlockSpec((8, b), lambda r, j, ws, mt, rr: (0, j)),
+                pl.BlockSpec((b, 128), lambda r, j, ws, mt, rr: (j, 0)),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=pl.BlockSpec((1, b),
-                                   lambda r, j, ws, rr: (0, r * nb + j)),
+                                   lambda r, j, ws, mt, rr: (0, r * nb + j)),
             scratch_shapes=[
                 pltpu.VMEM((2, 1, w), jnp.int32),
                 pltpu.VMEM((2, w, 128), jnp.bfloat16),
@@ -174,30 +207,42 @@ def monotone_key_join(table_keys: jax.Array, centroid: jax.Array,
             kernel, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((1, rdim * m), jnp.int32),
             interpret=interpret,
-        )(starts[None, :], r2, queries.reshape(1, -1), pay,
-          table_keys[None, :], pay)
+        )(starts[None, :].reshape(rdim, nb).reshape(1, -1), meta, r2,
+          table_keys[None, :], coord_t, pay, table_keys[None, :], pay)
         return out.reshape(rdim, m)
 
     def run_xla(args):
-        table_keys, _, queries, _ = args
-        return xla_key_join(table_keys, centroid, queries, radius)
+        table_keys, _, _, _ = args
+        return xla_cell_join(table_keys, centroid, ccoord, dims, offs_np,
+                             radius)
 
     if force_kernel:  # test path: exercise the kernel unconditionally
-        return run_kernel((table_keys, pay, queries, starts))
+        return run_kernel((table_keys, pay, coord_t, starts))
     return jax.lax.cond(overflow, run_xla, run_kernel,
-                        (table_keys, pay, queries, starts))
+                        (table_keys, pay, coord_t, starts))
 
 
-def xla_key_join(table_keys: jax.Array, centroid: jax.Array,
-                 queries: jax.Array, radius: float) -> jax.Array:
+def xla_cell_join(table_keys: jax.Array, centroid: jax.Array,
+                  ccoord: jax.Array, dims: jax.Array, offs_np: np.ndarray,
+                  radius) -> jax.Array:
     """Plain-XLA oracle/fallback: sort-join searchsorted + gathered gate."""
     m = table_keys.shape[0]
-    rdim = queries.shape[0]
-    pos = jnp.searchsorted(table_keys, queries.reshape(-1), side='left',
+    offs = jnp.asarray(np.asarray(offs_np, np.int32))
+    rdim = offs.shape[0]
+    dims = jnp.asarray(dims, jnp.int32)
+    d_lin = ((offs[:, 0] * dims[1] + offs[:, 1]) * dims[2]
+             + offs[:, 2]).astype(jnp.int32)
+    in_lo = ccoord
+    in_hi = dims[None, :] - 1 - ccoord
+    ok = ((table_keys != _INT_MAX)[None, :]
+          & (offs[:, :, None] + in_lo.T[None] >= 0).all(axis=1)
+          & (offs[:, :, None] <= in_hi.T[None]).all(axis=1))
+    q = jnp.where(ok, table_keys[None, :] + d_lin[:, None], _INT_MAX)
+    pos = jnp.searchsorted(table_keys, q.reshape(-1), side='left',
                            method='sort').astype(jnp.int32)
     pos = pos.reshape(rdim, m)
     pc = jnp.clip(pos, 0, m - 1)
-    hit = (pos < m) & (table_keys[pc] == queries) & (queries != _INT_MAX)
+    hit = ok & (pos < m) & (table_keys[pc] == q)
     cand = jnp.where(hit, pc, -1)
     cc = jnp.clip(cand, 0, m - 1)
     d2 = jnp.sum(jnp.square(centroid[None, :, :] - centroid[cc]), axis=-1)

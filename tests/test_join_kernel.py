@@ -1,83 +1,128 @@
-"""Windowed monotone key-join kernel vs the plain-XLA oracle."""
+"""Windowed monotone neighbour-cell join kernel vs oracles."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from softgroup_tpu.ops.join_kernel import (_INT_MAX, monotone_key_join,
-                                           xla_key_join)
+from softgroup_tpu.ops.join_kernel import (_INT_MAX, cell_neighbor_join,
+                                           xla_cell_join)
 
 
-def make_case(rng, m=512, n_valid=400, rdim=7, radius=0.3, spread=1.0):
-    """Sorted unique int32 keys + centroids + per-row shifted queries."""
-    keys = np.sort(rng.choice(20 * n_valid, size=n_valid, replace=False))
+def make_case(rng, m=512, n_valid=400, rdim=7, radius=0.3, spread=1.0,
+              dims=(12, 13, 11)):
+    """Sorted unique linear cell keys + coords + centroids + offsets."""
+    D = np.asarray(dims, np.int32)
+    total = int(D[0] * D[1] * D[2])
+    lin = np.sort(rng.choice(total, size=n_valid,
+                             replace=False)).astype(np.int32)
     table = np.full((m,), _INT_MAX, np.int32)
-    table[:n_valid] = keys
+    table[:n_valid] = lin
+    cz = lin % D[2]
+    cy = (lin // D[2]) % D[1]
+    cx = lin // (D[1] * D[2])
+    ccoord = np.zeros((m, 3), np.int32)
+    ccoord[:n_valid] = np.stack([cx, cy, cz], axis=1)
     centroid = rng.uniform(-spread, spread, size=(m, 3)).astype(np.float32)
-    shifts = rng.randint(-25, 25, size=(rdim,))
-    queries = np.full((rdim, m), _INT_MAX, np.int32)
-    for r, s in enumerate(shifts):
-        q = keys + s
-        ok = rng.rand(n_valid) > 0.2  # interspersed invalid queries
-        queries[r, :n_valid] = np.where(ok, q, _INT_MAX)
-    return (jnp.asarray(table), jnp.asarray(centroid),
-            jnp.asarray(queries), radius)
+    offs = tuple({(int(o[0]), int(o[1]), int(o[2]))
+                  for o in rng.randint(-2, 3, size=(rdim, 3))})
+    return (jnp.asarray(table), jnp.asarray(centroid), jnp.asarray(ccoord),
+            jnp.asarray(D), offs, radius)
 
 
-class TestMonotoneKeyJoin:
+def brute_join(table, centroid, ccoord, D, offs, radius):
+    table, centroid = np.asarray(table), np.asarray(centroid)
+    ccoord, D = np.asarray(ccoord), np.asarray(D)
+    m = len(table)
+    out = np.full((len(offs), m), -1, np.int32)
+    for r, off in enumerate(offs):
+        for i in range(m):
+            if table[i] == _INT_MAX:
+                continue
+            nc = ccoord[i] + np.asarray(off, np.int32)
+            if (nc < 0).any() or (nc >= D).any():
+                continue
+            q = (nc[0] * D[1] + nc[1]) * D[2] + nc[2]
+            js = np.where(table == q)[0]
+            if len(js) == 0:
+                continue
+            j = int(js[0])
+            if np.sum((centroid[i] - centroid[j]) ** 2) <= radius ** 2:
+                out[r, i] = j
+    return out
+
+
+class TestCellNeighborJoin:
 
     @pytest.fixture
     def rng(self):
         return np.random.RandomState(0)
 
+    def test_oracle_matches_brute_force(self, rng):
+        table, centroid, ccoord, D, offs, radius = make_case(
+            rng, m=256, n_valid=200)
+        want = brute_join(table, centroid, ccoord, D, offs, radius)
+        got = xla_cell_join(table, centroid, ccoord, D,
+                            np.asarray(offs, np.int32), radius)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
     def test_matches_oracle(self, rng):
-        table, centroid, queries, radius = make_case(rng)
-        got = monotone_key_join(table, centroid, queries, radius,
-                                block_b=64, window_w=256, interpret=True, force_kernel=True)
-        want = xla_key_join(table, centroid, queries, radius)
+        table, centroid, ccoord, D, offs, radius = make_case(rng)
+        got = cell_neighbor_join(table, centroid, ccoord, D, offs, radius,
+                                 block_b=64, window_w=256, interpret=True,
+                                 force_kernel=True)
+        want = xla_cell_join(table, centroid, ccoord, D,
+                             np.asarray(offs, np.int32), radius)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
-    def test_all_hits_when_shift_zero(self, rng):
-        table, centroid, _, _ = make_case(rng, spread=0.0)
+    def test_zero_offset_hits_self(self, rng):
+        table, centroid, ccoord, D, _, _ = make_case(rng, spread=0.0)
         n_valid = int((np.asarray(table) != _INT_MAX).sum())
-        queries = jnp.asarray(np.asarray(table)[None, :])
-        got = monotone_key_join(table, centroid, queries, 0.5,
-                                block_b=64, window_w=256, interpret=True, force_kernel=True)
+        got = cell_neighbor_join(table, centroid, ccoord, D, ((0, 0, 0),),
+                                 0.5, block_b=64, window_w=256,
+                                 interpret=True, force_kernel=True)
         got = np.asarray(got)[0]
         np.testing.assert_array_equal(got[:n_valid], np.arange(n_valid))
         assert (got[n_valid:] == -1).all()
 
     def test_radius_gate(self, rng):
-        table, centroid, queries, _ = make_case(rng, spread=2.0)
-        tight = np.asarray(monotone_key_join(
-            table, centroid, queries, 1e-6, block_b=64, window_w=256,
-            interpret=True, force_kernel=True))
-        want = np.asarray(xla_key_join(table, centroid, queries, 1e-6))
+        table, centroid, ccoord, D, offs, _ = make_case(rng, spread=2.0)
+        tight = np.asarray(cell_neighbor_join(
+            table, centroid, ccoord, D, offs, 1e-6, block_b=64,
+            window_w=256, interpret=True, force_kernel=True))
+        want = np.asarray(xla_cell_join(table, centroid, ccoord, D,
+                                        np.asarray(offs, np.int32), 1e-6))
         np.testing.assert_array_equal(tight, want)
 
     def test_overflow_falls_back(self, rng):
-        # adversarial: one query row spans the whole table inside one block
-        m, n_valid = 512, 500
-        keys = np.sort(rng.choice(10**6, size=n_valid, replace=False))
+        # adversarial: block 0's keys span a gap holding > w table rows, so
+        # its query window (which must cover all of the block's query
+        # positions) overflows and the lax.cond picks the XLA fallback
+        m = 1024
+        D = np.asarray([1, 1, 16384], np.int32)
+        lin = np.concatenate([np.arange(63), [10000],
+                              np.arange(10100, 10700)]).astype(np.int32)
         table = np.full((m,), _INT_MAX, np.int32)
-        table[:n_valid] = keys
+        table[:len(lin)] = lin
+        ccoord = np.zeros((m, 3), np.int32)
+        ccoord[:len(lin), 2] = lin
         centroid = np.zeros((m, 3), np.float32)
-        queries = np.full((1, m), _INT_MAX, np.int32)
-        queries[0, :n_valid] = keys  # dense row: fine
-        queries[0, 0] = keys[0]
-        queries[0, 63] = keys[-1]    # block 0 spans the entire table
-        queries[0, 1:63] = _INT_MAX
-        got = monotone_key_join(jnp.asarray(table), jnp.asarray(centroid),
-                                jnp.asarray(queries), 0.5,
-                                block_b=64, window_w=256, interpret=True)
-        want = xla_key_join(jnp.asarray(table), jnp.asarray(centroid),
-                            jnp.asarray(queries), 0.5)
+        offs = ((0, 0, 500),)   # block 0 query span covers the mid cluster
+        got = cell_neighbor_join(jnp.asarray(table), jnp.asarray(centroid),
+                                 jnp.asarray(ccoord), jnp.asarray(D), offs,
+                                 0.5, block_b=64, window_w=256,
+                                 interpret=True)
+        want = xla_cell_join(jnp.asarray(table), jnp.asarray(centroid),
+                             jnp.asarray(ccoord), jnp.asarray(D),
+                             np.asarray(offs, np.int32), 0.5)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert (np.asarray(want) >= 0).any()   # the case actually matches
 
     def test_bench_scale_shapes(self, rng):
-        table, centroid, queries, radius = make_case(
-            rng, m=1024, n_valid=900, rdim=26)
-        got = monotone_key_join(table, centroid, queries, radius,
-                                block_b=128, window_w=256, interpret=True, force_kernel=True)
-        want = xla_key_join(table, centroid, queries, radius)
+        table, centroid, ccoord, D, offs, radius = make_case(
+            rng, m=1024, n_valid=900, rdim=26, dims=(17, 19, 23))
+        got = cell_neighbor_join(table, centroid, ccoord, D, offs, radius,
+                                 block_b=128, window_w=256, interpret=True,
+                                 force_kernel=True)
+        want = xla_cell_join(table, centroid, ccoord, D,
+                             np.asarray(offs, np.int32), radius)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
