@@ -206,6 +206,9 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
         feats = jnp.pad(feats, ((0, 0), (0, pad)))
         wstack = jnp.pad(wstack, ((0, 0), (0, pad), (0, 0)))
         cin = cin + pad
+    # the kernel's transform matmul runs in bf16 regardless; casting the
+    # weight stack outside halves its VMEM block (matters at C=224)
+    wstack = wstack.astype(jnp.bfloat16)
 
     local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in,
                                     m_step)
