@@ -98,12 +98,22 @@ def window_rules(rules: jax.Array, group_of_tap: np.ndarray, n_groups: int,
 
 def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
                  win, u, sems, *, b: int, w: int, k: int, n_groups: int,
-                 tpg: int, cin: int, cout: int, ns: int, m_step: int):
+                 tpg: int, cin: int, cout: int, ns: int, m_step: int,
+                 tacc: bool = False):
     """One grid step = m_step output blocks: DMA their windows (double-
     buffered across the sequential grid), then per block weight-transform
     each window once and accumulate one-hot gather matmuls per tap.
     Multiple blocks per step amortize the ~3 us fixed per-step control
-    cost (the dominant non-MXU term at production sizes)."""
+    cost (the dominant non-MXU term at production sizes).
+
+    tacc=True computes the TRANSPOSED accumulator: the per-tap gather
+    matmul becomes uT (Cout, W) @ ohT (W, B) -> (Cout, B), so the MXU's
+    128-lane output dimension is the full block B instead of Cout — at
+    Cout < 128 the standard orientation pads Cout to 128 lanes and wastes
+    up to 4x of the dominant one-hot matmul (the kernel is MXU-bound).
+    Costs one (W, Cin) window transpose per group and one (Cout, B)
+    accumulator transpose per block; wstack must arrive pre-transposed as
+    (n_groups, tpg*Cout, Cin)."""
     step = pl.program_id(0)
     slot = jax.lax.rem(step, 2)
     nxt = jax.lax.rem(step + 1, 2)
@@ -138,7 +148,8 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
     @pl.when(ws_ref[n_groups * m_step, step] > 0)
     def _():
         cd = jnp.bfloat16
-        iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        iota = (jax.lax.broadcasted_iota(jnp.int32, (w, b), 0) if tacc
+                else jax.lax.broadcasted_iota(jnp.int32, (b, w), 1))
         for m in range(m_step):
             @pl.when(ws_ref[m, step] < 0)
             def _(m=m):
@@ -152,30 +163,51 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
                         feats_ref.at[pl.ds(pl.multiple_of(
                             ws_ref[g * m_step + m, step] * 16, 16), w)],
                         win.at[slot, m, g], sems.at[slot, m, g]).wait()
-                for g in range(n_groups):
-                    u[g] = jax.lax.dot(
-                        win[slot, m, g].astype(cd), wstack_ref[g].astype(cd),
-                        precision=jax.lax.Precision.DEFAULT,
-                        preferred_element_type=jnp.float32).astype(cd)
-                acc = jnp.zeros((b, cout), jnp.float32)
-                for t in range(k):
-                    g, p = t // tpg, t % tpg
-                    oh = (rules_ref[t, m * b:(m + 1) * b][:, None]
-                          == iota).astype(cd)
-                    acc += jax.lax.dot(
-                        oh, u[g, :, p * cout:(p + 1) * cout],
-                        precision=jax.lax.Precision.DEFAULT,
-                        preferred_element_type=jnp.float32)
-                out_ref[m * b:(m + 1) * b, :] = acc.astype(out_ref.dtype)
+                if tacc:
+                    for g in range(n_groups):
+                        u[g] = jax.lax.dot(
+                            wstack_ref[g].astype(cd),
+                            win[slot, m, g].astype(cd).T,
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32).astype(cd)
+                    acc = jnp.zeros((cout, b), jnp.float32)
+                    for t in range(k):
+                        g, p = t // tpg, t % tpg
+                        oh = (rules_ref[t, m * b:(m + 1) * b][None, :]
+                              == iota).astype(cd)
+                        acc += jax.lax.dot(
+                            u[g, p * cout:(p + 1) * cout, :], oh,
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32)
+                    out_ref[m * b:(m + 1) * b, :] = acc.T.astype(
+                        out_ref.dtype)
+                else:
+                    for g in range(n_groups):
+                        u[g] = jax.lax.dot(
+                            win[slot, m, g].astype(cd),
+                            wstack_ref[g].astype(cd),
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32).astype(cd)
+                    acc = jnp.zeros((b, cout), jnp.float32)
+                    for t in range(k):
+                        g, p = t // tpg, t % tpg
+                        oh = (rules_ref[t, m * b:(m + 1) * b][:, None]
+                              == iota).astype(cd)
+                        acc += jax.lax.dot(
+                            oh, u[g, :, p * cout:(p + 1) * cout],
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32)
+                    out_ref[m * b:(m + 1) * b, :] = acc.astype(
+                        out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('group_of_tap', 'n_groups',
                                              'block_b', 'window_w', 'm_step',
-                                             'interpret'))
+                                             'tacc', 'interpret'))
 def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
                   group_of_tap: tuple, n_groups: int,
                   block_b: int = 256, window_w: int = 512, m_step: int = 1,
-                  interpret: bool = False) -> jax.Array:
+                  tacc: bool = False, interpret: bool = False) -> jax.Array:
     """Sparse conv via the windowed gather-GEMM kernel.
 
     Args:
@@ -209,6 +241,8 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
     # the kernel's transform matmul runs in bf16 regardless; casting the
     # weight stack outside halves its VMEM block (matters at C=224)
     wstack = wstack.astype(jnp.bfloat16)
+    if tacc:
+        wstack = jnp.swapaxes(wstack, 1, 2)  # (n_groups, tpg*cout, cin)
 
     local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in,
                                     m_step)
@@ -224,13 +258,14 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
         out_specs=pl.BlockSpec((b * m_step, cout), lambda i, ws: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, m_step, n_groups, w, cin), feats.dtype),
-            pltpu.VMEM((n_groups, w, tpg * cout), jnp.bfloat16),
+            pltpu.VMEM((n_groups, tpg * cout, w) if tacc
+                       else (n_groups, w, tpg * cout), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, m_step, n_groups)),
         ],
     )
     kernel = functools.partial(_conv_kernel, b=b, w=w, k=k,
                                n_groups=n_groups, tpg=tpg, cin=cin,
-                               cout=cout, ns=ns, m_step=m_step)
+                               cout=cout, ns=ns, m_step=m_step, tacc=tacc)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -259,23 +294,23 @@ def _stack_weight(weight: jax.Array, n_groups: int) -> jax.Array:
 
 
 def subm_conv_windowed(feats, weight, rules, block_b=256, window_w=512,
-                       m_step=1, interpret=False):
+                       m_step=1, tacc=False, interpret=False):
     """Drop-in for sparse_conv.subm_conv (k=3^3, 27 taps)."""
     return windowed_conv(feats, _stack_weight(weight, 3), rules,
                          _SUBM_GROUPS, 3, block_b, window_w, m_step,
-                         interpret)
+                         tacc, interpret)
 
 
 def down_conv_windowed(feats, weight, down_rules, block_b=256, window_w=512,
-                       m_step=1, interpret=False):
+                       m_step=1, tacc=False, interpret=False):
     """Drop-in for sparse_conv.down_conv (k=2 s=2, 8 taps)."""
     return windowed_conv(feats, _stack_weight(weight, 2), down_rules,
                          _DOWN_GROUPS, 2, block_b, window_w, m_step,
-                         interpret)
+                         tacc, interpret)
 
 
 def inverse_conv_windowed(feats, weight, parent_idx, child_tap,
-                          block_b=256, window_w=512, m_step=1,
+                          block_b=256, window_w=512, m_step=1, tacc=False,
                           interpret=False):
     """Drop-in for sparse_conv.inverse_conv.
 
@@ -290,7 +325,7 @@ def inverse_conv_windowed(feats, weight, parent_idx, child_tap,
                       pi[None, :], -1).astype(jnp.int32)
     return windowed_conv(feats, _stack_weight(weight, 1), rules,
                          tuple([0] * k), 1, block_b, window_w, m_step,
-                         interpret)
+                         tacc, interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -133,7 +133,12 @@ def _subm_vjp(feats, weight, rules):
     if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
         from .conv_kernel import subm_conv_windowed
         b, w = _kernel_bw(rules.shape[1])
-        return subm_conv_windowed(feats, weight, rules, b, w)
+        # transposed accumulator at Cout=32: the one-hot matmul's output
+        # lanes are the block dim (256) instead of Cout padded to 128 —
+        # measured 1.3x on level-0 convs; neutral-to-slower at wider Cout
+        # (MXU pads M and N tiles alike), so only C=32 dispatches it
+        tacc = weight.shape[2] == 32
+        return subm_conv_windowed(feats, weight, rules, b, w, tacc=tacc)
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 

@@ -55,6 +55,26 @@ class TestWindowedConv:
         # kernel computes in bf16 (f32 accumulate)
         np.testing.assert_allclose(out, ref, rtol=0.03, atol=0.05)
 
+    def test_subm_tacc_matches_oracle(self, rng):
+        """The transposed-accumulator variant (production dispatch at
+        Cout=32) must match the standard orientation / XLA oracle."""
+        vox = _scene(rng)
+        dims = vox[:, 1:].max(0) + 1
+        rules_np = build_subm_rules_np(vox, dims)
+        v = len(vox)
+        cap = ((v + 127) // 128) * 128 + 128
+        rules = np.full((27, cap), -1, np.int32)
+        rules[:, :v] = rules_np
+        cin, cout = 16, 32
+        feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+        weight = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+        rules_j = jnp.asarray(rules)
+        ref = np.asarray(subm_conv(feats, weight, rules_j))
+        out = np.asarray(subm_conv_windowed(
+            feats, weight, rules_j, block_b=128, window_w=512,
+            tacc=True, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=0.03, atol=0.05)
+
     @pytest.mark.parametrize('m_step', [2, 4])
     def test_subm_m_step_matches_oracle(self, rng, m_step):
         """Multi-block grid steps (control-overhead amortization lever) must
