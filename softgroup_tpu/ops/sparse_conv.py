@@ -133,12 +133,12 @@ def _subm_vjp(feats, weight, rules):
     if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
         from .conv_kernel import subm_conv_windowed
         b, w = _kernel_bw(rules.shape[1])
-        # transposed accumulator at Cout=32: the one-hot matmul's output
-        # lanes are the block dim (256) instead of Cout padded to 128 —
-        # measured 1.3x on level-0 convs; neutral-to-slower at wider Cout
-        # (MXU pads M and N tiles alike), so only C=32 dispatches it
-        tacc = weight.shape[2] == 32
-        return subm_conv_windowed(feats, weight, rules, b, w, tacc=tacc)
+        # transposed accumulator: the one-hot matmul's output lanes become
+        # the block dim (256 rows) instead of Cout padded to 128 lanes.
+        # Measured in-program (bench.py, where it also fuses better than
+        # standalone micro-timings suggest): 106.5 -> 76.4 ms/scan enabling
+        # it at every width
+        return subm_conv_windowed(feats, weight, rules, b, w, tacc=True)
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 
@@ -166,7 +166,8 @@ def _down_vjp(feats, weight, rules):
     int scatter instead of XLA's (V_fine, C) scatter-add transpose."""
     if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
         from .conv_kernel import down_conv_windowed
-        return down_conv_windowed(feats, weight, rules, _KERNEL_B, _KERNEL_W)
+        return down_conv_windowed(feats, weight, rules, _KERNEL_B, _KERNEL_W,
+                                  tacc=True)
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 
@@ -268,7 +269,7 @@ def _inv_bwd(res, g):
     if _kernel_ok(down_rules.shape[1], g.shape[0], cin):
         from .conv_kernel import down_conv_windowed
         b, w = _kernel_bw(down_rules.shape[1])
-        g_feats = down_conv_windowed(gc, w_t, down_rules, b, w)
+        g_feats = down_conv_windowed(gc, w_t, down_rules, b, w, tacc=True)
     else:
         g_feats = _conv_xla(gc, w_t, down_rules, feats.dtype)
     # dW: one big matmul against the recomputed one-hot block matrix
