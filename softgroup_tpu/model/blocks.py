@@ -94,7 +94,8 @@ class SubMConv(nn.Module):
         rules = getattr(lv, 'subm_rules', lv)
         if rules is None:
             from ..ops.conv_kernel import keyed_subm_conv_ad
-            return keyed_subm_conv_ad(x, w, lv.ckey, lv.spatial_d)
+            return keyed_subm_conv_ad(x, w, lv.ckey, lv.spatial_d,
+                                       tacc=True)
         return subm_conv(x, w, rules)
 
 
@@ -111,7 +112,8 @@ class DownConv(nn.Module):
         rules = getattr(lv, 'down_rules', lv)
         if rules is None:
             from ..ops.conv_kernel import keyed_down_conv_ad
-            return keyed_down_conv_ad(x, w, lv.ckey, nxt.ckey, nxt.spatial_d)
+            return keyed_down_conv_ad(x, w, lv.ckey, nxt.ckey,
+                                       nxt.spatial_d, tacc=True)
         return down_conv(x, w, rules)
 
 

@@ -348,7 +348,8 @@ def inverse_conv_windowed(feats, weight, parent_idx, child_tap,
 
 def _keyed_kernel(ws_ref, blk_keys_ref, wstack_ref, feats_ref, keys_ref,
                   out_ref, win, wink, u, sems, *, b, w, n_groups, tpg,
-                  cin, cout, nb, d, offsets, group_of_tap, strided):
+                  cin, cout, nb, d, offsets, group_of_tap, strided,
+                  tacc=False):
     blk = pl.program_id(0)
     slot = jax.lax.rem(blk, 2)
     nxt = jax.lax.rem(blk + 1, 2)
@@ -388,10 +389,16 @@ def _keyed_kernel(ws_ref, blk_keys_ref, wstack_ref, feats_ref, keys_ref,
 
         cd = jnp.bfloat16
         for g in range(n_groups):
-            u[g] = jax.lax.dot(
-                win[slot, g].astype(cd), wstack_ref[g].astype(cd),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32).astype(cd)
+            if tacc:
+                u[g] = jax.lax.dot(
+                    wstack_ref[g].astype(cd), win[slot, g].astype(cd).T,
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32).astype(cd)
+            else:
+                u[g] = jax.lax.dot(
+                    win[slot, g].astype(cd), wstack_ref[g].astype(cd),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32).astype(cd)
 
         key = blk_keys_ref[0]                          # (B,)
         valid = key >= 0
@@ -400,7 +407,8 @@ def _keyed_kernel(ws_ref, blk_keys_ref, wstack_ref, feats_ref, keys_ref,
         yc = jax.lax.rem(jax.lax.div(key, d), d)
         xc = jax.lax.rem(jax.lax.div(key, d2), d)
         bc = jax.lax.div(key, d3)
-        acc = jnp.zeros((b, cout), jnp.float32)
+        acc = (jnp.zeros((cout, b), jnp.float32) if tacc
+               else jnp.zeros((b, cout), jnp.float32))
         k = len(offsets)
         for t in range(k):
             dx, dy, dz = offsets[t]
@@ -416,20 +424,28 @@ def _keyed_kernel(ws_ref, blk_keys_ref, wstack_ref, feats_ref, keys_ref,
                     & (yc + dy >= 0) & (yc + dy < d) \
                     & (zc + dz >= 0) & (zc + dz < d)
             q = jnp.where(ok, q, -1)
-            oh = (q[:, None] == wink[slot, g]).astype(cd)   # (B, W)
             p = t % tpg
-            acc += jax.lax.dot(oh, u[g, :, p * cout:(p + 1) * cout],
-                               precision=jax.lax.Precision.DEFAULT,
-                               preferred_element_type=jnp.float32)
-        out_ref[:] = acc.astype(out_ref.dtype)
+            if tacc:
+                oht = (wink[slot, g].reshape(w, 1) == q[None, :]) \
+                    .astype(cd)                             # (W, B)
+                acc += jax.lax.dot(u[g, p * cout:(p + 1) * cout, :], oht,
+                                   precision=jax.lax.Precision.DEFAULT,
+                                   preferred_element_type=jnp.float32)
+            else:
+                oh = (q[:, None] == wink[slot, g]).astype(cd)   # (B, W)
+                acc += jax.lax.dot(oh, u[g, :, p * cout:(p + 1) * cout],
+                                   precision=jax.lax.Precision.DEFAULT,
+                                   preferred_element_type=jnp.float32)
+        out_ref[:] = (acc.T if tacc else acc).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
     'spatial_shape', 'n_groups', 'group_of_tap', 'offsets', 'strided',
-    'block_b', 'window_w', 'interpret'))
+    'block_b', 'window_w', 'tacc', 'interpret'))
 def keyed_windowed_conv(feats, wstack, out_keys, in_keys, spatial_shape,
                         n_groups, group_of_tap, offsets, strided=False,
-                        block_b=128, window_w=512, interpret=False):
+                        block_b=128, window_w=512, tacc=False,
+                        interpret=False):
     """Windowed conv resolving neighbours by key equality in-kernel.
 
     Args:
@@ -455,6 +471,9 @@ def keyed_windowed_conv(feats, wstack, out_keys, in_keys, spatial_shape,
         feats = jnp.pad(feats, ((0, 0), (0, pad)))
         wstack = jnp.pad(wstack, ((0, 0), (0, pad), (0, 0)))
         cin = cin + pad
+
+    if tacc:
+        wstack = jnp.swapaxes(wstack, 1, 2)  # (n_groups, tpg*cout, cin)
 
     d = spatial_shape
     ok = (out_keys >= 0) & (out_keys != _INT_MAX)
@@ -504,14 +523,15 @@ def keyed_windowed_conv(feats, wstack, out_keys, in_keys, spatial_shape,
         scratch_shapes=[
             pltpu.VMEM((2, n_groups, w, cin), feats.dtype),
             pltpu.VMEM((2, n_groups, 1, w), jnp.int32),
-            pltpu.VMEM((n_groups, w, tpg * cout), jnp.bfloat16),
+            pltpu.VMEM((n_groups, tpg * cout, w) if tacc
+                       else (n_groups, w, tpg * cout), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, n_groups, 2)),
         ],
     )
     kernel = functools.partial(
         _keyed_kernel, b=b, w=w, n_groups=n_groups, tpg=tpg, cin=cin,
         cout=cout, nb=nb, d=d, offsets=tuple(offsets),
-        group_of_tap=tuple(group_of_tap), strided=strided)
+        group_of_tap=tuple(group_of_tap), strided=strided, tacc=tacc)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -527,21 +547,21 @@ _DOWN_OFFS = tuple((dx, dy, dz) for dx in (0, 1) for dy in (0, 1)
 
 
 def keyed_subm_conv(feats, weight, ckey, spatial_shape, block_b=128,
-                    window_w=512, interpret=False):
+                    window_w=512, tacc=False, interpret=False):
     """Submanifold conv on a sorted proposal-grid key table (no rulebook)."""
     return keyed_windowed_conv(
         feats, _stack_weight(weight, 3), ckey, ckey, spatial_shape, 3,
-        _SUBM_GROUPS, _SUBM_OFFS, False, block_b, window_w, interpret)
+        _SUBM_GROUPS, _SUBM_OFFS, False, block_b, window_w, tacc, interpret)
 
 
 def keyed_down_conv(feats, weight, fine_key, coarse_key, coarse_d,
-                    block_b=128, window_w=1024, interpret=False):
+                    block_b=128, window_w=1024, tacc=False, interpret=False):
     """k2s2 down conv: coarse out keys, window over the fine key table
     (each coarse block references up to ~8x block_b fine rows, hence the
     wider window — measured worst 766 on dense proposal blobs)."""
     return keyed_windowed_conv(
         feats, _stack_weight(weight, 2), coarse_key, fine_key, coarse_d, 2,
-        _DOWN_GROUPS, _DOWN_OFFS, True, block_b, window_w, interpret)
+        _DOWN_GROUPS, _DOWN_OFFS, True, block_b, window_w, tacc, interpret)
 
 
 # ---------------------------------------------------------------------------

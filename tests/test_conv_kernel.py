@@ -174,6 +174,12 @@ class TestKeyedConv:
         valid = np.asarray(vx.vox_valid)
         np.testing.assert_allclose(out[valid], ref[valid], rtol=0.03,
                                    atol=0.05)
+        # transposed-accumulator variant (production dispatch)
+        out_t = np.asarray(keyed_subm_conv(feats, w, ckey, d, block_b=128,
+                                           window_w=512, tacc=True,
+                                           interpret=True))
+        np.testing.assert_allclose(out_t[valid], ref[valid], rtol=0.03,
+                                   atol=0.05)
 
     def test_keyed_down_matches_rules(self, rng):
         import jax.numpy as jnp
@@ -197,6 +203,11 @@ class TestKeyedConv:
                                          interpret=True))
         valid = np.asarray(nv)
         np.testing.assert_allclose(out[valid], ref[valid], rtol=0.03,
+                                   atol=0.05)
+        out_t = np.asarray(keyed_down_conv(feats, w, ckey, ckey2, d // 2,
+                                           block_b=128, window_w=1024,
+                                           tacc=True, interpret=True))
+        np.testing.assert_allclose(out_t[valid], ref[valid], rtol=0.03,
                                    atol=0.05)
 
 
