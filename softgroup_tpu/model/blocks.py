@@ -94,8 +94,10 @@ class SubMConv(nn.Module):
         rules = getattr(lv, 'subm_rules', lv)
         if rules is None:
             from ..ops.conv_kernel import keyed_subm_conv_ad
+            from ..ops.dispatch import kernel_interpret, tacc_enabled
             return keyed_subm_conv_ad(x, w, lv.ckey, lv.spatial_d,
-                                       tacc=True)
+                                      tacc=tacc_enabled(),
+                                      interpret=kernel_interpret())
         return subm_conv(x, w, rules)
 
 
@@ -112,8 +114,10 @@ class DownConv(nn.Module):
         rules = getattr(lv, 'down_rules', lv)
         if rules is None:
             from ..ops.conv_kernel import keyed_down_conv_ad
+            from ..ops.dispatch import kernel_interpret, tacc_enabled
             return keyed_down_conv_ad(x, w, lv.ckey, nxt.ckey,
-                                       nxt.spatial_d, tacc=True)
+                                      nxt.spatial_d, tacc=tacc_enabled(),
+                                      interpret=kernel_interpret())
         return down_conv(x, w, rules)
 
 

@@ -384,14 +384,15 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
         # (required by the windowed gather kernel; harmless otherwise —
         # everything downstream is gated on valid_e)
         pt_e = jnp.where(valid_e, idx // k_cand, p - 1)
-        if (jax.default_backend() == 'tpu' and n_tot % 256 == 0
-                and p >= 1024):
+        from ..ops.dispatch import kernels_enabled
+        if kernels_enabled() and n_tot % 256 == 0 and p >= 1024:
             # windowed monotone-gather kernel: the flat candidate index is
             # point-major, so pt_e is non-decreasing and a block of 256
             # entries reads a contiguous point window.  The class column
             # rides along (top_c per point, selected per entry below),
             # killing the separate (P*k_cand,)[idx] gather.  Sparse entry
             # patterns can overflow the window — fall back to XLA gathers.
+            from ..ops.dispatch import kernel_interpret
             from ..ops.gather_kernel import (monotone_gather_f32,
                                              monotone_window_overflow)
             n_bad = monotone_window_overflow(pt_e, 256, 1024, p)
@@ -399,7 +400,8 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
             wide, ex = jax.lax.cond(
                 n_bad == 0,
                 lambda: monotone_gather_f32(wide_src, pt_e, topc_f,
-                                            block_b=256, window_w=1024),
+                                            block_b=256, window_w=1024,
+                                            interpret=kernel_interpret()),
                 lambda: (wide_src[pt_e], topc_f[pt_e]))
             slot_oh = (jnp.where(valid_e, idx % k_cand, 0)[:, None]
                        == jnp.arange(k_cand)[None, :])
@@ -532,7 +534,8 @@ def clusters_voxelization(props: Proposals, feats: jax.Array,
     vx, ckey = voxelize_linear(c4, props.entry_valid, dims,
                                caps.inst_voxels[0])
     vox_feats = segment_mean_fused(fe, vx.p2v, caps.inst_voxels[0])
-    if jax.default_backend() == 'tpu' and spatial_shape % 2 == 0 \
+    from ..ops.dispatch import kernels_enabled
+    if kernels_enabled() and spatial_shape % 2 == 0 \
             and not rand_quantize:
         # inference: keyed levels — the windowed conv kernel resolves
         # neighbours from the sorted key table in-kernel, no rulebook

@@ -138,15 +138,18 @@ def cell_cluster_csr(shifted: jax.Array, group: jax.Array, valid: jax.Array,
                          & (comp_size >= thr_cell), clab, -1)
     tab = jnp.concatenate([lab_cell, jnp.full((1,), -1, jnp.int32)])
     cid_s = core['cid_s']
-    if (jax.default_backend() == 'tpu' and n % 256 == 0 and n >= 256
+    from .dispatch import kernels_enabled
+    if (kernels_enabled() and n % 256 == 0 and n >= 256
             and m + 1 >= 384):
         # cid_s is non-decreasing with increments <= 1, so its per-block
         # span is <= block_b: the windowed gather kernel never overflows
         # here (labels are < 2^24, exact through the bf16x3 split)
+        from .dispatch import kernel_interpret
         from .gather_kernel import monotone_gather_f32
         ent_label = monotone_gather_f32(
             tab.astype(jnp.float32)[:, None], cid_s, block_b=256,
-            window_w=384)[:, 0].astype(jnp.int32)
+            window_w=384,
+            interpret=kernel_interpret())[:, 0].astype(jnp.int32)
     else:
         ent_label = tab[cid_s]                      # monotone-index gather
     return ent_label, core['payload_s']
@@ -245,15 +248,18 @@ def _cell_core(shifted, group, valid, payload, radius, cell_scale,
         cand = K.lookup(q_hi.reshape(-1), q_lo.reshape(-1), chi, clo,
                         cell_valid).reshape(n_off, m).T   # (m, n_off)
     else:
-        if jax.default_backend() == 'tpu' and m % 256 == 0 and m >= 512:
+        from .dispatch import kernels_enabled
+        if kernels_enabled() and m % 256 == 0 and m >= 512:
             # windowed monotone neighbour-cell join kernel: the queries are
             # rebuilt in-kernel from keys + coarse coords (bounds test
             # included) and the centroid radius gate is fused in — the
             # (n_off, m) query matrix is never materialised
+            from .dispatch import kernel_interpret
             from .join_kernel import cell_neighbor_join
             cand = cell_neighbor_join(
                 clo, centroid, ccoord, dims,
-                tuple(map(tuple, offs_np.tolist())), radius).T  # (m, n_off)
+                tuple(map(tuple, offs_np.tolist())), radius,
+                interpret=kernel_interpret()).T  # (m, n_off)
             gated = True
         else:
             d_lin = (d_hi * dims[1] + offs[:, 1]) * dims[2] + offs[:, 2]

@@ -50,8 +50,9 @@ def _kernel_bw(v_out: int) -> tuple[int, int]:
 
 
 def _kernel_ok(v_out: int, v_in: int, cout: int) -> bool:
+    from .dispatch import kernels_enabled
     b, w = _kernel_bw(v_out)
-    return (jax.default_backend() == 'tpu'
+    return (kernels_enabled()
             and cout <= _KERNEL_MAX_CHANNELS
             and v_out % b == 0
             and v_out >= _KERNEL_MIN_VOXELS
@@ -106,18 +107,31 @@ def _dw(feats, g, rules, groups, n_groups, weight_dtype):
     otherwise (CPU).  Both are exact.  Unlike the forward, the dw kernel
     has NO Cout cap: its output is the (n_groups, Cin, tpg*Cout) weight
     block, so wide channels never blow up VMEM."""
+    from .dispatch import kernels_enabled
     b, w = _kernel_bw(rules.shape[1])
-    if (jax.default_backend() == 'tpu'
+    k = len(groups)
+
+    def xla_dw():
+        zeros_w = jnp.zeros((k,) + (feats.shape[1], g.shape[1]),
+                            weight_dtype)
+        return jax.vjp(lambda w: _conv_xla(feats, w, rules, feats.dtype),
+                       zeros_w)[1](g)[0]
+
+    if (kernels_enabled()
             and rules.shape[1] % b == 0
             and rules.shape[1] >= _KERNEL_MIN_VOXELS
             and feats.shape[0] >= w):
-        from .conv_kernel import windowed_conv_dw
-        return windowed_conv_dw(feats, g.astype(feats.dtype), rules, groups,
-                                n_groups, b, w).astype(weight_dtype)
-    k = len(groups)
-    zeros_w = jnp.zeros((k,) + (feats.shape[1], g.shape[1]), weight_dtype)
-    return jax.vjp(lambda w: _conv_xla(feats, w, rules, feats.dtype),
-                   zeros_w)[1](g)[0]
+        from .conv_kernel import window_overflow, windowed_conv_dw
+        from .dispatch import kernel_interpret
+        return jax.lax.cond(
+            window_overflow(rules, groups, n_groups, w, b,
+                            feats.shape[0]) == 0,
+            lambda: windowed_conv_dw(feats, g.astype(feats.dtype), rules,
+                                     groups, n_groups, b, w,
+                                     interpret=kernel_interpret())
+            .astype(weight_dtype),
+            xla_dw)
+    return xla_dw()
 
 
 @jax.custom_vjp
@@ -131,14 +145,23 @@ def _subm_vjp(feats, weight, rules):
     pure gathers on both backends, never XLA's scatter-add transpose.
     """
     if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
-        from .conv_kernel import subm_conv_windowed
+        from .conv_kernel import (_SUBM_GROUPS, subm_conv_windowed,
+                                  window_overflow)
+        from .dispatch import kernel_interpret, tacc_enabled
         b, w = _kernel_bw(rules.shape[1])
         # transposed accumulator: the one-hot matmul's output lanes become
         # the block dim (256 rows) instead of Cout padded to 128 lanes.
         # Measured in-program (bench.py, where it also fuses better than
         # standalone micro-timings suggest): 106.5 -> 76.4 ms/scan enabling
-        # it at every width
-        return subm_conv_windowed(feats, weight, rules, b, w, tacc=True)
+        # it at every width.  Pathological rulebooks whose windows overflow
+        # fall back to the exact XLA conv (window_overflow docstring).
+        return jax.lax.cond(
+            window_overflow(rules, _SUBM_GROUPS, 3, w, b,
+                            feats.shape[0]) == 0,
+            lambda: subm_conv_windowed(feats, weight, rules, b, w,
+                                       tacc=tacc_enabled(),
+                                       interpret=kernel_interpret()),
+            lambda: _conv_xla(feats, weight, rules, feats.dtype))
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 
@@ -165,9 +188,16 @@ def _down_vjp(feats, weight, rules):
     tap)) — a gather, reconstructed from the down rulebook with one small
     int scatter instead of XLA's (V_fine, C) scatter-add transpose."""
     if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
-        from .conv_kernel import down_conv_windowed
-        return down_conv_windowed(feats, weight, rules, _KERNEL_B, _KERNEL_W,
-                                  tacc=True)
+        from .conv_kernel import (_DOWN_GROUPS, down_conv_windowed,
+                                  window_overflow)
+        from .dispatch import kernel_interpret, tacc_enabled
+        return jax.lax.cond(
+            window_overflow(rules, _DOWN_GROUPS, 2, _KERNEL_W, _KERNEL_B,
+                            feats.shape[0]) == 0,
+            lambda: down_conv_windowed(feats, weight, rules, _KERNEL_B,
+                                       _KERNEL_W, tacc=tacc_enabled(),
+                                       interpret=kernel_interpret()),
+            lambda: _conv_xla(feats, weight, rules, feats.dtype))
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 
@@ -267,9 +297,17 @@ def _inv_bwd(res, g):
     w_t = jnp.swapaxes(weight, 1, 2)
     gc = g.astype(feats.dtype)
     if _kernel_ok(down_rules.shape[1], g.shape[0], cin):
-        from .conv_kernel import down_conv_windowed
+        from .conv_kernel import (_DOWN_GROUPS, down_conv_windowed,
+                                  window_overflow)
+        from .dispatch import kernel_interpret, tacc_enabled
         b, w = _kernel_bw(down_rules.shape[1])
-        g_feats = down_conv_windowed(gc, w_t, down_rules, b, w, tacc=True)
+        g_feats = jax.lax.cond(
+            window_overflow(down_rules, _DOWN_GROUPS, 2, w, b,
+                            g.shape[0]) == 0,
+            lambda: down_conv_windowed(gc, w_t, down_rules, b, w,
+                                       tacc=tacc_enabled(),
+                                       interpret=kernel_interpret()),
+            lambda: _conv_xla(gc, w_t, down_rules, feats.dtype))
     else:
         g_feats = _conv_xla(gc, w_t, down_rules, feats.dtype)
     # dW: one big matmul against the recomputed one-hot block matrix

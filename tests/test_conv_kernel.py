@@ -236,3 +236,151 @@ class TestWeightGrad:
                                block_b=128, window_w=512, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=0.05, atol=0.3)
+
+
+class TestOverflowFallback:
+    """Windowed kernels silently DROP taps whose block window exceeds W;
+    production dispatch must detect that (window_overflow) and fall back to
+    the exact XLA conv (VERDICT round-1 weak #4)."""
+
+    def _pathological(self, rng, v=512, cin=8, cout=8):
+        """Identity rulebook except tap 0 references rows 0 AND v-12 within
+        block 0 — a window span of ~v, far beyond W=256."""
+        rules = np.full((27, v), -1, np.int32)
+        rules[13] = np.arange(v)          # centre tap: identity
+        rules[0, 0] = 0                   # group-0 window starts at row 0...
+        rules[0, 1] = v - 12              # ...and must reach row v-12
+        feats = jnp.asarray(rng.randn(v, cin), jnp.float32)
+        weight = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+        return jnp.asarray(rules), feats, weight
+
+    def test_window_overflow_counts(self, rng):
+        from softgroup_tpu.ops.conv_kernel import window_overflow
+        rules_j, feats, weight = self._pathological(rng)
+        v = feats.shape[0]
+        n = window_overflow(rules_j, _SUBM_GROUPS, 3, 256, 128, v)
+        assert int(n) > 0
+        # a healthy rulebook reports zero
+        vox = _scene(rng)
+        dims = vox[:, 1:].max(0) + 1
+        healthy = build_subm_rules_np(vox, dims)
+        cap = ((len(vox) + 127) // 128) * 128 + 128
+        hp = np.full((27, cap), -1, np.int32)
+        hp[:, :len(vox)] = healthy
+        n0 = window_overflow(jnp.asarray(hp), _SUBM_GROUPS, 3, 512, 128, cap)
+        assert int(n0) == 0
+
+    def test_kernel_drops_then_dispatch_recovers(self, rng):
+        """The raw kernel on the pathological rulebook drops the tap; the
+        production dispatch (kernels forced on, interpret mode) returns the
+        exact XLA result via the lax.cond fallback."""
+        from softgroup_tpu.ops import dispatch
+        from softgroup_tpu.ops.sparse_conv import _conv_xla, subm_conv
+        rules_j, feats, weight = self._pathological(rng)
+        ref = np.asarray(_conv_xla(feats, weight, rules_j, jnp.float32))
+        # document the failure mode: the kernel alone diverges
+        raw = np.asarray(subm_conv_windowed(
+            feats, weight, rules_j, block_b=128, window_w=256,
+            interpret=True))
+        assert np.abs(raw - ref).max() > 1e-3
+        dispatch.set_kernels(True)
+        dispatch.set_interpret(True)
+        try:
+            out = np.asarray(subm_conv(feats, weight, rules_j))
+        finally:
+            dispatch.set_kernels(None)
+            dispatch.set_interpret(None)
+        np.testing.assert_array_equal(out, ref)
+
+    def test_dispatch_uses_kernel_when_healthy(self, rng):
+        """Sanity: with a healthy rulebook the guarded dispatch still takes
+        the kernel branch (bf16 compute -> small but NONZERO difference
+        from the exact f32 oracle)."""
+        from softgroup_tpu.ops import dispatch
+        from softgroup_tpu.ops.sparse_conv import _conv_xla, subm_conv
+        vox = _scene(rng)
+        dims = vox[:, 1:].max(0) + 1
+        rules_np = build_subm_rules_np(vox, dims)
+        v = len(vox)
+        cap = ((v + 127) // 128) * 128 + 128
+        rules = np.full((27, cap), -1, np.int32)
+        rules[:, :v] = rules_np
+        cin, cout = 16, 8
+        feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+        weight = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+        rules_j = jnp.asarray(rules)
+        ref = np.asarray(_conv_xla(feats, weight, rules_j, jnp.float32))
+        dispatch.set_kernels(True)
+        dispatch.set_interpret(True)
+        try:
+            out = np.asarray(subm_conv(feats, weight, rules_j))
+        finally:
+            dispatch.set_kernels(None)
+            dispatch.set_interpret(None)
+        np.testing.assert_allclose(out, ref, rtol=0.03, atol=0.05)
+        assert np.abs(out - ref).max() > 0.0  # bf16 kernel, not the oracle
+
+    def test_keyed_overflow_falls_back_exact(self, rng):
+        """Keyed dispatch with a too-small window: keyed_window_overflow
+        flags it and keyed_subm_conv_ad returns the exact rulebook conv."""
+        from softgroup_tpu.ops.conv_kernel import (_SUBM_OFFS,
+                                                   keyed_subm_conv_ad,
+                                                   keyed_window_overflow)
+        from softgroup_tpu.ops.rulebook import build_subm_rules_linear
+        from softgroup_tpu.ops.sparse_conv import _conv_xla
+        from softgroup_tpu.ops.voxelize import voxelize_linear
+        d = 20
+        n_prop, pts_per = 6, 600
+        coords = []
+        for p in range(n_prop):
+            c = rng.randint(0, d, (pts_per, 3))
+            coords.append(np.concatenate(
+                [np.full((pts_per, 1), p), c], axis=1))
+        c4 = np.concatenate(coords).astype(np.int32)
+        cap = 4096
+        c4p = np.zeros((cap, 4), np.int32)
+        c4p[:len(c4)] = c4
+        valid = np.arange(cap) < len(c4)
+        dims = jnp.full((3,), d, jnp.int32)
+        vx, ckey = voxelize_linear(jnp.asarray(c4p), jnp.asarray(valid),
+                                   dims, cap)
+        n_bad = keyed_window_overflow(ckey, ckey, d, _SUBM_OFFS,
+                                      _SUBM_GROUPS, 3, 128, 128, False)
+        assert int(n_bad) > 0  # a 128-row window cannot cover these blocks
+        cin, cout = 8, 8
+        feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+        feats = feats * vx.vox_valid[:, None]
+        w = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+        rules = build_subm_rules_linear(ckey, vx.vox_coords, vx.vox_valid,
+                                        dims)
+        ref = np.asarray(_conv_xla(feats, w, rules, jnp.float32))
+        out = np.asarray(keyed_subm_conv_ad(feats, w, ckey, d,
+                                            window_w=128, block_b=128,
+                                            interpret=True))
+        valid_v = np.asarray(vx.vox_valid)
+        np.testing.assert_array_equal(out[valid_v], ref[valid_v])
+
+    def test_keyed_overflow_zero_at_production_window(self, rng):
+        """No false positives at the production window sizes on a typical
+        proposal-grid key table (otherwise dispatch would silently fall
+        back and eat the keyed kernel's speedup)."""
+        from softgroup_tpu.ops.conv_kernel import (_DOWN_OFFS, _SUBM_OFFS,
+                                                   _DOWN_GROUPS,
+                                                   keyed_window_overflow)
+        from softgroup_tpu.ops.voxelize import voxelize_linear
+        d = 20
+        coords = []
+        for p in range(6):
+            c = rng.randint(0, d, (600, 3))
+            coords.append(np.concatenate([np.full((600, 1), p), c], axis=1))
+        c4 = np.concatenate(coords).astype(np.int32)
+        cap = 4096
+        c4p = np.zeros((cap, 4), np.int32)
+        c4p[:len(c4)] = c4
+        valid = np.arange(cap) < len(c4)
+        dims = jnp.full((3,), d, jnp.int32)
+        vx, ckey = voxelize_linear(jnp.asarray(c4p), jnp.asarray(valid),
+                                   dims, cap)
+        n_bad = keyed_window_overflow(ckey, ckey, d, _SUBM_OFFS,
+                                      _SUBM_GROUPS, 3, 512, 128, False)
+        assert int(n_bad) == 0
