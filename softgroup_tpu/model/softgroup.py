@@ -344,16 +344,22 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
     counts = active.sum(axis=1)
     active &= (counts >= min_npoint)[:, None]
 
-    # SoftGroup++ scene pyramid (`get_level`, softgroup.py:482-489): coarsen
-    # the grouping radius/grid on big scenes.  The reference picks a level
-    # per class from its active count; fused grouping uses the largest
-    # class's count (big scenes have big classes — same level in practice).
+    # SoftGroup++ scene pyramid (`get_level`, reference softgroup.py:445,
+    # 482-489): coarsen the grouping radius/grid on big scenes, PER CLASS
+    # from each class's active count (1 / 2 / 3 at the 1e5 / 1e6
+    # thresholds).  Scaling a class's entry coordinates by 1/level is
+    # exactly equivalent to scaling its query radius by level — class
+    # groups never interact in the fused clustering (the group key
+    # separates them), so per-entry coordinate scale carries per-class
+    # levels through one clustering call.
     radius_j = jnp.float32(radius)
+    level_of_cls = None
     if getattr_or(cfg.grouping_cfg, 'with_pyramid', False):
-        biggest = counts.max()
-        level = jnp.where(biggest > 1000000, 3.0,
-                          jnp.where(biggest > 100000, 2.0, 1.0))
-        radius_j = radius_j * level
+        thr_lo, thr_hi = getattr_or(cfg.grouping_cfg, 'pyramid_thresholds',
+                                    (100000, 1000000))
+        level_of_cls = jnp.where(
+            counts > thr_hi, 3.0,
+            jnp.where(counts > thr_lo, 2.0, 1.0))          # (C,)
 
     # one fused compaction over candidate (class, point) entries.  The
     # softmax scores sum to 1, so at most floor(1/score_thr) classes can
@@ -417,6 +423,9 @@ def forward_grouping(semantic_scores: jax.Array, pt_offsets: jax.Array,
         pt_e = jnp.where(valid_e, idx % p, 0)
         wide = wide_src[pt_e]
     shifted = wide[:, :3]
+    if level_of_cls is not None:
+        # per-class pyramid level as a per-entry coordinate scale
+        shifted = shifted / level_of_cls[cls_e][:, None]
     group = wide[:, 3].astype(jnp.int32) * n_cls + cls_e
 
     # one clustering call for all classes (group key separates them).

@@ -52,72 +52,100 @@ def _mm(lhs, rhs):
 
 
 def window_rules(rules: jax.Array, group_of_tap: np.ndarray, n_groups: int,
-                 w: int, b: int, v_in: int, m_step: int = 1):
+                 w: int, b: int, v_in: int, m_step: int = 1,
+                 n_win: int = 1):
     """Per-(block, group) window starts + window-local rule indices.
 
     Args:
       rules: (K, V_out) int32 global gather indices, -1 missing; monotone
         non-decreasing per tap.
       group_of_tap: (K,) static tap -> window group (taps grouped by dx).
-      w, b: window width / output block size (static).
+      w, b: per-window width / output block size (static).
       v_in: input row count (window starts are clamped to [0, v_in - w]).
       m_step: output blocks per kernel grid step (amortizes the per-step
         control overhead, ~3 us/step measured).
+      n_win: windows per (block, group).  n_win=2 places window 1 at the
+        block's min target and window 2 at its first UNCOVERED target —
+        same FLOPs/DMA as one 2w window but it jumps the gap when a block's
+        targets split into two runs (the structural case for down convs:
+        fine-voxel order breaks at x-slab boundaries, spans up to ~1900
+        rows where two 384-wide windows cover everything).
     Returns:
-      local: (K, V_out) int32 window-local indices (anything outside [0, w)
-        contributes zero in the kernel — no clipping needed).
-      starts: (n_groups*m_step + 1, nb//m_step) int32 window start rows in
-        UNITS OF 16 (the kernel multiplies by 16 so Mosaic can prove sublane
-        alignment of the DMA slice; w must include a 16-row alignment
-        margin), row g*m_step+m = group g of the step's m-th block; -1 for
-        blocks that are pure capacity padding (the kernel skips their DMA
-        and zeroes their rows).  Last row: any-valid flag per step.
-      n_overflow: () int32 — entries dropped because the block's window
-        exceeded w (should be ~0 with a properly sized w).
+      local: (K, V_out) int32 window-local indices into the CONCATENATED
+        n_win*w window slab (anything outside [0, n_win*w) contributes zero
+        in the kernel — no clipping needed).
+      starts: (n_win*n_groups*m_step + 1, nb//m_step) int32 window start
+        rows in UNITS OF 16 (the kernel multiplies by 16 so Mosaic can
+        prove sublane alignment of the DMA slice), row
+        (g*n_win + j)*m_step + m = window j of group g of the step's m-th
+        block; -1 for blocks that are pure capacity padding (the kernel
+        skips their DMA and zeroes their rows).  Last row: any-valid flag
+        per step.
+      n_overflow: () int32 — entries dropped because no window covers them
+        (should be ~0 with properly sized w).
     """
     k, v_out = rules.shape
     nb = v_out // b
     assert nb % m_step == 0, (nb, m_step)
     rb = rules.reshape(k, nb, b)
-    big = jnp.where(rb < 0, _INT_MAX, rb)
     blk_valid = (rb >= 0).any(axis=(0, 2))                  # (nb,)
-    starts = []
+    starts = []                       # n_groups entries of (n_win, nb)
+    locals_g = []                     # per group: (tpg, nb, b) local index
+    tap_order = []
     for g in range(n_groups):
         taps = np.nonzero(group_of_tap == g)[0]
-        s = big[taps].min(axis=(0, 2))          # (nb,)
-        s = jnp.where(s == _INT_MAX, 0, s)
-        starts.append(jnp.clip(s, 0, max(v_in - w, 0)) // 16)
-    starts = jnp.stack(starts, axis=0).astype(jnp.int32)   # (n_groups, nb)
-    # (group-major layout: SMEM scalar-prefetch operands are lane-padded to
-    # 128, so the long axis must be the lane axis)
-    gmap = jnp.asarray(group_of_tap, jnp.int32)
-    ws_tap = starts[gmap] * 16                               # (K, nb)
-    local = rb - ws_tap[:, :, None]
-    local = jnp.where(rb < 0, -1, local)
-    n_overflow = jnp.sum(local >= w)
-    starts = jnp.where(blk_valid[None, :], starts, -1)
+        tap_order.extend(taps.tolist())
+        sel = rb[taps]                                       # (tpg, nb, b)
+        live = sel >= 0
+        assigned = ~live
+        loc = jnp.where(live, n_win * w, -1)   # live default: dropped
+        g_starts = []
+        for j in range(n_win):
+            rem = jnp.where(assigned, _INT_MAX, sel)
+            s = rem.min(axis=(0, 2))                         # (nb,)
+            empty = s == _INT_MAX
+            s = jnp.clip(jnp.where(empty, 0, s),
+                         0, max(v_in - w, 0)) // 16
+            # -1 marks an unused window: the kernel skips its DMA entirely
+            g_starts.append(jnp.where(empty, -1, s))
+            lj = sel - s[None, :, None] * 16
+            in_j = ~assigned & (lj >= 0) & (lj < w)
+            loc = jnp.where(in_j, j * w + lj, loc)
+            assigned = assigned | in_j
+        locals_g.append(loc)
+        starts.append(jnp.stack(g_starts, axis=0))          # (n_win, nb)
+    starts = jnp.stack(starts, axis=0).astype(jnp.int32)    # (ng, n_win, nb)
+    local = jnp.concatenate(locals_g, axis=0)               # (K, nb, b)
+    inv = np.argsort(np.asarray(tap_order))
+    local = local[np.asarray(inv)]
+    n_overflow = jnp.sum(local >= n_win * w)
+    starts = jnp.where(blk_valid[None, None, :], starts, -1)
     ns = nb // m_step
-    # (n_groups, ns, m_step) -> rows g*m_step + m
-    starts = starts.reshape(n_groups, ns, m_step) \
-        .transpose(0, 2, 1).reshape(n_groups * m_step, ns)
+    # (ng, n_win, ns, m_step) -> rows (g*n_win + j)*m_step + m
+    starts = starts.reshape(n_groups * n_win, ns, m_step) \
+        .transpose(0, 2, 1).reshape(n_groups * n_win * m_step, ns)
+    # per-block validity rows (a valid block can still have -1 window rows
+    # when a GROUP has no live entries — the kernel must not zero it), then
+    # the per-step any-valid flag
+    blk_flag = blk_valid.reshape(ns, m_step).T.astype(jnp.int32)
     step_valid = blk_valid.reshape(ns, m_step).any(axis=1)
     starts = jnp.concatenate(
-        [starts, step_valid[None, :].astype(jnp.int32)], axis=0)
+        [starts, blk_flag, step_valid[None, :].astype(jnp.int32)], axis=0)
     return local.reshape(k, v_out), starts, n_overflow
 
 
 def window_overflow(rules: jax.Array, group_of_tap, n_groups: int,
-                    w: int, b: int, v_in: int) -> jax.Array:
+                    w: int, b: int, v_in: int, n_win: int = 1) -> jax.Array:
     """() int32 count of rulebook entries the windowed kernel would DROP
-    because their block's window exceeds ``w``.
+    because no (block, group) window covers them.
 
     Production dispatch (sparse_conv.py) guards every windowed-kernel call
-    with ``lax.cond(window_overflow(...) == 0, kernel, xla_fallback)`` so a
-    pathological rulebook can never silently zero taps (VERDICT.md round-1
-    weak #4).  The count is the same one window_rules computes; calling it
-    standalone costs O(K*V) int ops — noise next to the conv itself."""
+    on this count (<= correction capacity) so a pathological rulebook can
+    never silently zero taps (VERDICT.md round-1 weak #4).  The count is
+    the same one window_rules computes; calling it standalone costs O(K*V)
+    int ops — noise next to the conv itself."""
     gmap = np.asarray(group_of_tap, np.int32)
-    return window_rules(rules, gmap, n_groups, w, b, v_in)[2]
+    return window_rules(rules, gmap, n_groups, w, b, v_in, n_win=n_win)[2]
 
 
 def keyed_window_overflow(out_keys: jax.Array, in_keys: jax.Array, d: int,
@@ -179,12 +207,17 @@ def keyed_window_overflow(out_keys: jax.Array, in_keys: jax.Array, d: int,
 def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
                  win, u, sems, *, b: int, w: int, k: int, n_groups: int,
                  tpg: int, cin: int, cout: int, ns: int, m_step: int,
-                 tacc: bool = False):
+                 tacc: bool = False, n_win: int = 1):
     """One grid step = m_step output blocks: DMA their windows (double-
     buffered across the sequential grid), then per block weight-transform
     each window once and accumulate one-hot gather matmuls per tap.
     Multiple blocks per step amortize the ~3 us fixed per-step control
     cost (the dominant non-MXU term at production sizes).
+
+    n_win > 1: each (block, group) has n_win windows DMA'd into one
+    contiguous (n_win*w, Cin) VMEM slab; rule locals index the slab (see
+    window_rules).  Start row (g*n_win + j)*m_step + m; -1 skips that
+    window's DMA (unused second window / padding block).
 
     tacc=True computes the TRANSPOSED accumulator: the per-tap gather
     matmul becomes uT (Cout, W) @ ohT (W, B) -> (Cout, B), so the MXU's
@@ -197,21 +230,37 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
     step = pl.program_id(0)
     slot = jax.lax.rem(step, 2)
     nxt = jax.lax.rem(step + 1, 2)
+    we = n_win * w
+    nrows = n_groups * n_win * m_step
+    any_row = nrows + m_step           # per-step any-valid flag row
+
+    def row(g, j, m):
+        return (g * n_win + j) * m_step + m
 
     def start_dmas(slot_i, step_i):
-        @pl.when(ws_ref[n_groups * m_step, step_i] > 0)
+        @pl.when(ws_ref[any_row, step_i] > 0)
         def _():
             for m in range(m_step):
                 for g in range(n_groups):
-                    @pl.when(ws_ref[g * m_step + m, step_i] >= 0)
-                    def _(m=m, g=g):
-                        start = pl.multiple_of(
-                            ws_ref[g * m_step + m, step_i] * 16, 16)
-                        pltpu.make_async_copy(
-                            feats_ref.at[pl.ds(start, w)],
-                            win.at[slot_i, m, g],
-                            sems.at[slot_i, m, g],
-                        ).start()
+                    for j in range(n_win):
+                        @pl.when(ws_ref[row(g, j, m), step_i] >= 0)
+                        def _(m=m, g=g, j=j):
+                            start = pl.multiple_of(
+                                ws_ref[row(g, j, m), step_i] * 16, 16)
+                            pltpu.make_async_copy(
+                                feats_ref.at[pl.ds(start, w)],
+                                win.at[slot_i, m, g, pl.ds(j * w, w)],
+                                sems.at[slot_i, m, g, j],
+                            ).start()
+
+                        # a skipped window (no live entries) must be ZEROED,
+                        # not left as stale VMEM: a NaN bit pattern there
+                        # would survive the one-hot's 0 coefficient
+                        # (NaN * 0 = NaN) and pollute the accumulator
+                        @pl.when(ws_ref[row(g, j, m), step_i] < 0)
+                        def _(m=m, g=g, j=j):
+                            win[slot_i, m, g, j * w:(j + 1) * w, :] = \
+                                jnp.zeros((w, cin), win.dtype)
 
     @pl.when(step == 0)
     def _():
@@ -221,28 +270,33 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
     def _():
         start_dmas(nxt, step + 1)
 
-    @pl.when(ws_ref[n_groups * m_step, step] == 0)
+    @pl.when(ws_ref[any_row, step] == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(ws_ref[n_groups * m_step, step] > 0)
+    @pl.when(ws_ref[any_row, step] > 0)
     def _():
         cd = jnp.bfloat16
-        iota = (jax.lax.broadcasted_iota(jnp.int32, (w, b), 0) if tacc
-                else jax.lax.broadcasted_iota(jnp.int32, (b, w), 1))
+        iota = (jax.lax.broadcasted_iota(jnp.int32, (we, b), 0) if tacc
+                else jax.lax.broadcasted_iota(jnp.int32, (b, we), 1))
         for m in range(m_step):
-            @pl.when(ws_ref[m, step] < 0)
+            @pl.when(ws_ref[nrows + m, step] == 0)
             def _(m=m):
                 out_ref[m * b:(m + 1) * b, :] = jnp.zeros(
                     (b, cout), out_ref.dtype)
 
-            @pl.when(ws_ref[m, step] >= 0)
+            @pl.when(ws_ref[nrows + m, step] > 0)
             def _(m=m):
                 for g in range(n_groups):
-                    pltpu.make_async_copy(
-                        feats_ref.at[pl.ds(pl.multiple_of(
-                            ws_ref[g * m_step + m, step] * 16, 16), w)],
-                        win.at[slot, m, g], sems.at[slot, m, g]).wait()
+                    for j in range(n_win):
+                        @pl.when(ws_ref[row(g, j, m), step] >= 0)
+                        def _(m=m, g=g, j=j):
+                            pltpu.make_async_copy(
+                                feats_ref.at[pl.ds(pl.multiple_of(
+                                    ws_ref[row(g, j, m), step] * 16, 16),
+                                    w)],
+                                win.at[slot, m, g, pl.ds(j * w, w)],
+                                sems.at[slot, m, g, j]).wait()
                 if tacc:
                     for g in range(n_groups):
                         u[g] = _mm(wstack_ref[g],
@@ -271,11 +325,12 @@ def _conv_kernel(ws_ref, rules_ref, wstack_ref, feats_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=('group_of_tap', 'n_groups',
                                              'block_b', 'window_w', 'm_step',
-                                             'tacc', 'interpret'))
+                                             'tacc', 'n_win', 'interpret'))
 def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
                   group_of_tap: tuple, n_groups: int,
                   block_b: int = 256, window_w: int = 512, m_step: int = 1,
-                  tacc: bool = False, interpret: bool = False) -> jax.Array:
+                  tacc: bool = False, n_win: int = 1,
+                  interpret: bool = False) -> jax.Array:
     """Sparse conv via the windowed gather-GEMM kernel.
 
     Args:
@@ -290,13 +345,29 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
     """
     v_in, cin = feats.shape
     k, v_out = rules.shape
+    b, w = block_b, window_w
+    gmap = np.asarray(group_of_tap, np.int32)
+    local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in,
+                                    m_step, n_win)
+    return _windowed_conv_core(feats, wstack, local, starts, n_groups,
+                               b, w, m_step, tacc, interpret, n_win)
+
+
+def _windowed_conv_core(feats, wstack, local, starts, n_groups, block_b,
+                        window_w, m_step, tacc, interpret, n_win=1):
+    """Kernel body of windowed_conv with precomputed (local, starts) from
+    window_rules (pass the SAME n_win) — so exact dispatch
+    (sparse_conv._windowed_exact) can share one window_rules pass between
+    the overflow count, the kernel, and the overflow correction."""
+    v_in, cin = feats.shape
+    k, v_out = local.shape
     tpg = k // n_groups
     cout = wstack.shape[2] // tpg
     b, w = block_b, window_w
+    we = n_win * w
     assert v_out % (b * m_step) == 0 and v_in >= w, (v_out, b, m_step,
                                                      v_in, w)
     ns = v_out // (b * m_step)
-    gmap = np.asarray(group_of_tap, np.int32)
 
     # manual HBM->VMEM window DMA requires full 128-lane tiles: pad Cin (the
     # physical HBM layout is lane-padded anyway, and the extra K rows in the
@@ -312,9 +383,6 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
     if tacc:
         wstack = jnp.swapaxes(wstack, 1, 2)  # (n_groups, tpg*cout, cin)
 
-    local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in,
-                                    m_step)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ns,),
@@ -325,21 +393,67 @@ def windowed_conv(feats: jax.Array, wstack: jax.Array, rules: jax.Array,
         ],
         out_specs=pl.BlockSpec((b * m_step, cout), lambda i, ws: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, m_step, n_groups, w, cin), feats.dtype),
-            pltpu.VMEM((n_groups, tpg * cout, w) if tacc
-                       else (n_groups, w, tpg * cout), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, m_step, n_groups)),
+            pltpu.VMEM((2, m_step, n_groups, we, cin), feats.dtype),
+            pltpu.VMEM((n_groups, tpg * cout, we) if tacc
+                       else (n_groups, we, tpg * cout), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, m_step, n_groups, n_win)),
         ],
     )
     kernel = functools.partial(_conv_kernel, b=b, w=w, k=k,
                                n_groups=n_groups, tpg=tpg, cin=cin,
-                               cout=cout, ns=ns, m_step=m_step, tacc=tacc)
+                               cout=cout, ns=ns, m_step=m_step, tacc=tacc,
+                               n_win=n_win)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((v_out, cout), feats.dtype),
         interpret=interpret,
     )(starts, local, wstack, feats)
+
+
+def overflow_correction(feats: jax.Array, weight: jax.Array,
+                        rules: jax.Array, local: jax.Array, w: int,
+                        cap: int, v_out: int) -> jax.Array:
+    """Exact (V_out, Cout) correction for rulebook entries the windowed
+    kernel DROPPED (window-local index >= w): compact up to ``cap`` dropped
+    (tap, out_voxel) entries with a cumsum, gather their input rows, apply
+    the per-tap weight via one one-hot block matmul (same trick as the
+    scatter-free inverse conv), and scatter-add into the output.
+
+    With zero overflow this is a fixed small cost (one cumsum over the
+    rulebook + cap dustbin rows); with overflow <= cap the kernel + this
+    correction is EXACT, so tight windows stay fast without the full XLA
+    fallback (down-conv windows overflow structurally at ScanNet scale —
+    spans up to ~1900 rows at block 128 — because fine-voxel order is not
+    monotone in coarse-voxel order across x-slab boundaries)."""
+    k, cin = weight.shape[0], weight.shape[1]
+    cout = weight.shape[2]
+    n = rules.size
+    flat_rules = rules.reshape(-1)
+    mask = local.reshape(-1) >= w
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (pos < cap), pos, cap)
+    eidx = jnp.full((cap + 1,), -1, jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32))[:cap]
+    valid = eidx >= 0
+    eclip = jnp.where(valid, eidx, 0)
+    ke = eclip // rules.shape[1]
+    ve = eclip % rules.shape[1]
+    src = jnp.where(valid, flat_rules[eclip], -1)
+    v_in = feats.shape[0]
+    padded = jnp.concatenate(
+        [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    rows = padded[jnp.where(src < 0, v_in, src)]          # (cap, Cin)
+    cd = jnp.bfloat16
+    oh = jax.nn.one_hot(ke, k, dtype=cd)
+    aug = (oh[:, :, None] * rows[:, None, :].astype(cd)).reshape(
+        cap, k * cin)
+    contrib = jnp.dot(aug, weight.astype(cd).reshape(k * cin, cout),
+                      preferred_element_type=jnp.float32)
+    contrib = jnp.where(valid[:, None], contrib, 0.0)
+    out = jnp.zeros((v_out + 1, cout), jnp.float32)
+    out = out.at[jnp.where(valid, ve, v_out)].add(contrib)
+    return out[:v_out]
 
 
 # ---------------------------------------------------------------------------
@@ -362,19 +476,19 @@ def _stack_weight(weight: jax.Array, n_groups: int) -> jax.Array:
 
 
 def subm_conv_windowed(feats, weight, rules, block_b=256, window_w=512,
-                       m_step=1, tacc=False, interpret=False):
+                       m_step=1, tacc=False, n_win=1, interpret=False):
     """Drop-in for sparse_conv.subm_conv (k=3^3, 27 taps)."""
     return windowed_conv(feats, _stack_weight(weight, 3), rules,
                          _SUBM_GROUPS, 3, block_b, window_w, m_step,
-                         tacc, interpret)
+                         tacc, n_win, interpret)
 
 
 def down_conv_windowed(feats, weight, down_rules, block_b=256, window_w=512,
-                       m_step=1, tacc=False, interpret=False):
+                       m_step=1, tacc=False, n_win=1, interpret=False):
     """Drop-in for sparse_conv.down_conv (k=2 s=2, 8 taps)."""
     return windowed_conv(feats, _stack_weight(weight, 2), down_rules,
                          _DOWN_GROUPS, 2, block_b, window_w, m_step,
-                         tacc, interpret)
+                         tacc, n_win, interpret)
 
 
 def inverse_conv_windowed(feats, weight, parent_idx, child_tap,
@@ -393,7 +507,7 @@ def inverse_conv_windowed(feats, weight, parent_idx, child_tap,
                       pi[None, :], -1).astype(jnp.int32)
     return windowed_conv(feats, _stack_weight(weight, 1), rules,
                          tuple([0] * k), 1, block_b, window_w, m_step,
-                         tacc, interpret)
+                         tacc, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -728,19 +842,32 @@ def keyed_down_conv_ad(feats, weight, fine_key, coarse_key, coarse_d, **kw):
 # and accumulates dW in a VMEM-resident output across the sequential grid.
 
 def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
-               b, w, k, n_groups, tpg, cin, cout, nb):
+               b, w, k, n_groups, tpg, cin, cout, nb, n_win=1):
     blk = pl.program_id(0)
     slot = jax.lax.rem(blk, 2)
     nxt = jax.lax.rem(blk + 1, 2)
+    we = n_win * w
+    nrows = n_groups * n_win          # then block-flag row, then any row
 
     def start_dmas(slot_i, blk_i):
-        @pl.when(ws_ref[n_groups, blk_i] > 0)
+        @pl.when(ws_ref[nrows + 1, blk_i] > 0)
         def _():
             for g in range(n_groups):
-                start = pl.multiple_of(ws_ref[g, blk_i] * 16, 16)
-                pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
-                                      win.at[slot_i, g],
-                                      sems.at[slot_i, g]).start()
+                for j in range(n_win):
+                    @pl.when(ws_ref[g * n_win + j, blk_i] >= 0)
+                    def _(g=g, j=j):
+                        start = pl.multiple_of(
+                            ws_ref[g * n_win + j, blk_i] * 16, 16)
+                        pltpu.make_async_copy(
+                            feats_ref.at[pl.ds(start, w)],
+                            win.at[slot_i, g, pl.ds(j * w, w)],
+                            sems.at[slot_i, g, j]).start()
+
+                    @pl.when(ws_ref[g * n_win + j, blk_i] < 0)
+                    def _(g=g, j=j):
+                        # stale VMEM could carry NaN past the one-hot zero
+                        win[slot_i, g, j * w:(j + 1) * w, :] = \
+                            jnp.zeros((w, cin), win.dtype)
 
     @pl.when(blk == 0)
     def _():
@@ -751,12 +878,17 @@ def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
     def _():
         start_dmas(nxt, blk + 1)
 
-    @pl.when(ws_ref[n_groups, blk] > 0)
+    @pl.when(ws_ref[nrows, blk] > 0)
     def _():
         for g in range(n_groups):
-            start = pl.multiple_of(ws_ref[g, blk] * 16, 16)
-            pltpu.make_async_copy(feats_ref.at[pl.ds(start, w)],
-                                  win.at[slot, g], sems.at[slot, g]).wait()
+            for j in range(n_win):
+                @pl.when(ws_ref[g * n_win + j, blk] >= 0)
+                def _(g=g, j=j):
+                    pltpu.make_async_copy(
+                        feats_ref.at[pl.ds(pl.multiple_of(
+                            ws_ref[g * n_win + j, blk] * 16, 16), w)],
+                        win.at[slot, g, pl.ds(j * w, w)],
+                        sems.at[slot, g, j]).wait()
 
         cd = jnp.bfloat16
         gb = g_ref[:].astype(cd)                        # (B, Cout)
@@ -765,14 +897,14 @@ def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
         # (Cin, W) x (W, tpg*Cout) matmul produces the group's whole dW
         # block.  ~2x fewer FLOPs than gather-then-outer-product and the
         # MXU sees K=W, N=tpg*Cout shapes instead of N=Cout slivers.
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (we, b), 0)
         for g in range(n_groups):
             hs = []
             for p in range(tpg):
                 t = g * tpg + p
-                oht = (rules_ref[t][None, :] == iota_w).astype(cd)  # (W, B)
+                oht = (rules_ref[t][None, :] == iota_w).astype(cd)  # (We, B)
                 hs.append(_mm(oht, gb).astype(cd))
-            h = jnp.concatenate(hs, axis=1)              # (W, tpg*Cout)
+            h = jnp.concatenate(hs, axis=1)              # (We, tpg*Cout)
             out_ref[g] += jax.lax.dot_general(
                 win[slot, g].astype(cd), h,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -782,15 +914,16 @@ def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
 
 @functools.partial(jax.jit, static_argnames=('group_of_tap', 'n_groups',
                                              'block_b', 'window_w',
-                                             'interpret'))
+                                             'n_win', 'interpret'))
 def windowed_conv_dw(feats, g_out, rules, group_of_tap, n_groups,
-                     block_b=128, window_w=384, interpret=False):
+                     block_b=128, window_w=384, n_win=1, interpret=False):
     """Weight gradient of windowed_conv wrt the (K, Cin, Cout) weights."""
     v_in, cin_real = feats.shape
     k, v_out = rules.shape
     cout = g_out.shape[1]
     tpg = k // n_groups
     b, w = block_b, window_w
+    we = n_win * w
     assert v_out % b == 0 and v_in >= w
     nb = v_out // b
     gmap = np.asarray(group_of_tap, np.int32)
@@ -800,7 +933,8 @@ def windowed_conv_dw(feats, g_out, rules, group_of_tap, n_groups,
         pad = 128 - cin % 128
         feats_p = jnp.pad(feats, ((0, 0), (0, pad)))
         cin += pad
-    local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in)
+    local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in,
+                                    n_win=n_win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -812,12 +946,13 @@ def windowed_conv_dw(feats, g_out, rules, group_of_tap, n_groups,
         out_specs=pl.BlockSpec((n_groups, cin, tpg * cout),
                                lambda i, ws: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, n_groups, w, cin), feats_p.dtype),
-            pltpu.SemaphoreType.DMA((2, n_groups)),
+            pltpu.VMEM((2, n_groups, we, cin), feats_p.dtype),
+            pltpu.SemaphoreType.DMA((2, n_groups, n_win)),
         ],
     )
     kernel = functools.partial(_dw_kernel, b=b, w=w, k=k, n_groups=n_groups,
-                               tpg=tpg, cin=cin, cout=cout, nb=nb)
+                               tpg=tpg, cin=cin, cout=cout, nb=nb,
+                               n_win=n_win)
     dw = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

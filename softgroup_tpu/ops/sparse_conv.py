@@ -33,30 +33,66 @@ import jax.numpy as jnp
 # autodiff implementation.
 _KERNEL_MAX_CHANNELS = 256
 _KERNEL_MIN_VOXELS = 512
-_KERNEL_B = 128
-_KERNEL_W = 384
 
 
-def _kernel_bw(v_out: int) -> tuple[int, int]:
-    """(block_b, window_w) by output size, from a measured sweep
-    (`tools/sweep_convbw.py`, ScanNet-scale rulebooks): big levels run
-    fastest at B=256/W=384, smaller ones at B=128/W=256.  The one-hot
-    matmul cost per output row is 27*W*Cout, so tighter windows are a
-    direct FLOP cut; the overflow-drop rate stays < 0.04% of taps
-    (same order as the reference's nondeterministic ball-query cap)."""
+def _kernel_bw(v_out: int) -> tuple[int, int, int]:
+    """(block_b, window_w, n_win) by output size.  Since round 2 every
+    windowed dispatch is exact (overflow -> sparse correction, or XLA past
+    the correction capacity), so sizes are chosen for near-zero overflow on
+    realistic scenes: DUAL windows (n_win=2, conv_kernel.window_rules) jump
+    the block-target gaps that single windows must span — measured at
+    ScanNet bench scale (250k pts, 3 seeds) subm (256, 2x256) and down
+    (128, 2x384) overflow 0-283 entries vs up to 16k single-window."""
     if v_out >= 65536:
-        return 256, 384
-    return 128, 256
+        return 256, 256, 2
+    return 128, 192, 2
 
 
 def _kernel_ok(v_out: int, v_in: int, cout: int) -> bool:
     from .dispatch import kernels_enabled
-    b, w = _kernel_bw(v_out)
+    b, w, _ = _kernel_bw(v_out)
     return (kernels_enabled()
             and cout <= _KERNEL_MAX_CHANNELS
             and v_out % b == 0
             and v_out >= _KERNEL_MIN_VOXELS
             and v_in >= w)
+
+
+def _windowed_exact(feats, weight, rules, groups, n_groups,
+                    corr_cap=4096, b=None, w=None, n_win=1):
+    """Windowed-kernel conv, EXACT at any rulebook: one shared window_rules
+    pass feeds the kernel, the overflow count, and (when overflow > 0) the
+    sparse correction that re-adds dropped taps (conv_kernel.
+    overflow_correction).  Only rulebooks with more than ``corr_cap``
+    dropped entries fall back to the full XLA conv."""
+    import numpy as np
+
+    from .conv_kernel import (_stack_weight, _windowed_conv_core,
+                              overflow_correction, window_rules)
+    from .dispatch import kernel_interpret, tacc_enabled
+    if b is None:
+        b, w, n_win = _kernel_bw(rules.shape[1])
+    if feats.shape[0] < w or rules.shape[1] % b:
+        return _conv_xla(feats, weight, rules, feats.dtype)
+    v_out = rules.shape[1]
+    gmap = np.asarray(groups, np.int32)
+    local, starts, n_over = window_rules(rules, gmap, n_groups, w, b,
+                                         feats.shape[0], n_win=n_win)
+    wstack = _stack_weight(weight, n_groups)
+
+    def kernel_path():
+        out = _windowed_conv_core(feats, wstack, local, starts, n_groups,
+                                  b, w, 1, tacc_enabled(),
+                                  kernel_interpret(), n_win)
+        return jax.lax.cond(
+            n_over == 0,
+            lambda: out,
+            lambda: (out.astype(jnp.float32) + overflow_correction(
+                feats, weight, rules, local, n_win * w, corr_cap, v_out)
+            ).astype(out.dtype))
+
+    return jax.lax.cond(n_over <= corr_cap, kernel_path,
+                        lambda: _conv_xla(feats, weight, rules, feats.dtype))
 
 
 def _gather_padded(feats: jax.Array, idx: jax.Array) -> jax.Array:
@@ -108,7 +144,7 @@ def _dw(feats, g, rules, groups, n_groups, weight_dtype):
     has NO Cout cap: its output is the (n_groups, Cin, tpg*Cout) weight
     block, so wide channels never blow up VMEM."""
     from .dispatch import kernels_enabled
-    b, w = _kernel_bw(rules.shape[1])
+    b, w, n_win = _kernel_bw(rules.shape[1])
     k = len(groups)
 
     def xla_dw():
@@ -125,9 +161,9 @@ def _dw(feats, g, rules, groups, n_groups, weight_dtype):
         from .dispatch import kernel_interpret
         return jax.lax.cond(
             window_overflow(rules, groups, n_groups, w, b,
-                            feats.shape[0]) == 0,
+                            feats.shape[0], n_win=n_win) == 0,
             lambda: windowed_conv_dw(feats, g.astype(feats.dtype), rules,
-                                     groups, n_groups, b, w,
+                                     groups, n_groups, b, w, n_win=n_win,
                                      interpret=kernel_interpret())
             .astype(weight_dtype),
             xla_dw)
@@ -145,23 +181,12 @@ def _subm_vjp(feats, weight, rules):
     pure gathers on both backends, never XLA's scatter-add transpose.
     """
     if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
-        from .conv_kernel import (_SUBM_GROUPS, subm_conv_windowed,
-                                  window_overflow)
-        from .dispatch import kernel_interpret, tacc_enabled
-        b, w = _kernel_bw(rules.shape[1])
-        # transposed accumulator: the one-hot matmul's output lanes become
-        # the block dim (256 rows) instead of Cout padded to 128 lanes.
-        # Measured in-program (bench.py, where it also fuses better than
-        # standalone micro-timings suggest): 106.5 -> 76.4 ms/scan enabling
-        # it at every width.  Pathological rulebooks whose windows overflow
-        # fall back to the exact XLA conv (window_overflow docstring).
-        return jax.lax.cond(
-            window_overflow(rules, _SUBM_GROUPS, 3, w, b,
-                            feats.shape[0]) == 0,
-            lambda: subm_conv_windowed(feats, weight, rules, b, w,
-                                       tacc=tacc_enabled(),
-                                       interpret=kernel_interpret()),
-            lambda: _conv_xla(feats, weight, rules, feats.dtype))
+        from .conv_kernel import _SUBM_GROUPS
+        # transposed accumulator (tacc, threaded via dispatch.py): the
+        # one-hot matmul's output lanes become the block dim instead of
+        # Cout padded to 128 lanes.  Measured in-program (bench.py):
+        # 106.5 -> 76.4 ms/scan enabling it at every width.
+        return _windowed_exact(feats, weight, rules, _SUBM_GROUPS, 3)
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 
@@ -188,16 +213,14 @@ def _down_vjp(feats, weight, rules):
     tap)) — a gather, reconstructed from the down rulebook with one small
     int scatter instead of XLA's (V_fine, C) scatter-add transpose."""
     if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
-        from .conv_kernel import (_DOWN_GROUPS, down_conv_windowed,
-                                  window_overflow)
-        from .dispatch import kernel_interpret, tacc_enabled
-        return jax.lax.cond(
-            window_overflow(rules, _DOWN_GROUPS, 2, _KERNEL_W, _KERNEL_B,
-                            feats.shape[0]) == 0,
-            lambda: down_conv_windowed(feats, weight, rules, _KERNEL_B,
-                                       _KERNEL_W, tacc=tacc_enabled(),
-                                       interpret=kernel_interpret()),
-            lambda: _conv_xla(feats, weight, rules, feats.dtype))
+        from .conv_kernel import _DOWN_GROUPS
+        # fine-voxel order is not monotone in coarse order across x-slab
+        # boundaries, so single down windows overflow STRUCTURALLY at scale
+        # (spans up to ~1900 rows at block 128); dual windows jump the gap
+        # (measured <= 283 dropped entries at bench scale), the correction
+        # re-adds the stragglers exactly.
+        return _windowed_exact(feats, weight, rules, _DOWN_GROUPS, 2,
+                               corr_cap=16384, b=128, w=384, n_win=2)
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 
@@ -297,17 +320,9 @@ def _inv_bwd(res, g):
     w_t = jnp.swapaxes(weight, 1, 2)
     gc = g.astype(feats.dtype)
     if _kernel_ok(down_rules.shape[1], g.shape[0], cin):
-        from .conv_kernel import (_DOWN_GROUPS, down_conv_windowed,
-                                  window_overflow)
-        from .dispatch import kernel_interpret, tacc_enabled
-        b, w = _kernel_bw(down_rules.shape[1])
-        g_feats = jax.lax.cond(
-            window_overflow(down_rules, _DOWN_GROUPS, 2, w, b,
-                            g.shape[0]) == 0,
-            lambda: down_conv_windowed(gc, w_t, down_rules, b, w,
-                                       tacc=tacc_enabled(),
-                                       interpret=kernel_interpret()),
-            lambda: _conv_xla(gc, w_t, down_rules, feats.dtype))
+        from .conv_kernel import _DOWN_GROUPS
+        g_feats = _windowed_exact(gc, w_t, down_rules, _DOWN_GROUPS, 2,
+                                  corr_cap=16384, b=128, w=384, n_win=2)
     else:
         g_feats = _conv_xla(gc, w_t, down_rules, feats.dtype)
     # dW: one big matmul against the recomputed one-hot block matrix

@@ -211,3 +211,74 @@ class TestCellClusterCSR:
         assert (fast[32:] == -1).all()
         assert (ent_label[:32] >= 0).all() and (ent_label[32:] == -1).all()
         assert canon(fast) == canon(legacy)
+
+
+class TestPerClassPyramidLevels:
+    """SoftGroup++ picks a pyramid level PER CLASS from its active count
+    (reference softgroup.py:445,482-489).  Two classes straddling the level
+    threshold must cluster at different effective radii in ONE fused
+    grouping call: the big class's level-2 radius merges blobs the small
+    class's level-1 radius keeps apart."""
+
+    def _run(self, with_pyramid):
+        import jax.numpy as jnp
+
+        from softgroup_tpu.model.softgroup import Capacities, forward_grouping
+        from softgroup_tpu.util.config import Config
+
+        rng = np.random.RandomState(0)
+        n_cls = 6
+        blobs = []           # (center, class, n)
+        # class 2 ("small"): 2x20 active points; class 3 ("big"): 2x40
+        for c, n_per in ((2, 20), (3, 40)):
+            for bx in (0.0, 0.5):
+                blobs.append((np.array([bx, c * 3.0, 0.0]), c, n_per))
+        pts, cls = [], []
+        for center, c, n_per in blobs:
+            pts.append(center + rng.randn(n_per, 3).astype(np.float32) * 0.01)
+            cls.append(np.full(n_per, c, np.int32))
+        coords = np.concatenate(pts).astype(np.float32)
+        cls = np.concatenate(cls)
+        p_cap = 256
+        n = len(coords)
+        coords_p = np.zeros((p_cap, 3), np.float32)
+        coords_p[:n] = coords
+        scores = np.full((p_cap, n_cls), -10.0, np.float32)
+        scores[np.arange(n), cls] = 10.0
+        valid = np.arange(p_cap) < n
+
+        cfg = Config(dict(
+            grouping_cfg=dict(
+                score_thr=0.2, radius=0.3, mean_active=300,
+                class_numpoint_mean=[-1.0] * n_cls, npoint_thr=5,
+                ignore_classes=[0, 1], with_pyramid=with_pyramid,
+                pyramid_thresholds=(50, 10 ** 9), exact_ball_query=True),
+            test_cfg=dict(min_npoint=10),
+        ))
+        caps = Capacities(points=p_cap, voxels=(p_cap,),
+                          grouping_points=512, proposals=16,
+                          proposal_entries=512, instances=8,
+                          inst_voxels=(256,), grouping_cells=512)
+        props = forward_grouping(
+            jnp.asarray(scores), jnp.zeros((p_cap, 3), jnp.float32),
+            jnp.zeros((p_cap,), jnp.int32), jnp.asarray(coords_p),
+            jnp.asarray(valid), cfg, caps)
+        n_props = int(props.n_proposals)
+        # proposal -> class via its first point
+        ev = np.asarray(props.entry_valid)
+        seg = np.asarray(props.entry_seg)[ev]
+        pt = np.asarray(props.entry_pt)[ev]
+        per_class = {}
+        for s in np.unique(seg):
+            c = int(cls[pt[seg == s][0]])
+            per_class[c] = per_class.get(c, 0) + 1
+        return n_props, per_class
+
+    def test_levels_differ_across_threshold(self):
+        # no pyramid: both classes split into 2 blobs (gap 0.5 > radius 0.3)
+        n0, by_cls0 = self._run(with_pyramid=False)
+        assert by_cls0 == {2: 2, 3: 2}, by_cls0
+        # pyramid: class 3 (80 active > thr 50) gets level 2 -> effective
+        # radius 0.6 merges its blobs; class 2 (40 active) stays level 1
+        n1, by_cls1 = self._run(with_pyramid=True)
+        assert by_cls1 == {2: 2, 3: 1}, by_cls1
