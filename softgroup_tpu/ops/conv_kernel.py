@@ -431,11 +431,17 @@ def overflow_correction(feats: jax.Array, weight: jax.Array,
     n = rules.size
     flat_rules = rules.reshape(-1)
     mask = local.reshape(-1) >= w
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    slot = jnp.where(mask & (pos < cap), pos, cap)
-    eidx = jnp.full((cap + 1,), -1, jnp.int32).at[slot].set(
-        jnp.arange(n, dtype=jnp.int32))[:cap]
-    valid = eidx >= 0
+    # GATHER-based compaction: slot s holds the index of the (s+1)-th set
+    # bit, found by binary search on the running count.  The obvious scatter
+    # formulation (full(cap).at[slot].set(arange(n))) has n=5.3M updates
+    # funneling into one dustbin slot; XLA lowers that to a serialized
+    # scatter fusion measured at 73.6 ms/conv on room scenes (the round-2
+    # profile's top op, 515 of 522 ms/scan) vs 0.04 ms for this form.
+    cs = jnp.cumsum(mask.astype(jnp.int32))
+    pos = jnp.searchsorted(cs, jnp.arange(1, cap + 1, dtype=jnp.int32),
+                           side='left').astype(jnp.int32)
+    valid = pos < n
+    eidx = jnp.where(valid, pos, -1)
     eclip = jnp.where(valid, eidx, 0)
     ke = eclip // rules.shape[1]
     ve = eclip % rules.shape[1]

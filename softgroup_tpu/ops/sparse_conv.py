@@ -186,7 +186,14 @@ def _subm_vjp(feats, weight, rules):
         # one-hot matmul's output lanes become the block dim instead of
         # Cout padded to 128 lanes.  Measured in-program (bench.py):
         # 106.5 -> 76.4 ms/scan enabling it at every width.
-        return _windowed_exact(feats, weight, rules, _SUBM_GROUPS, 3)
+        #
+        # corr_cap 49152: SURFACE scenes (thin voxel slabs — the realistic
+        # ScanNet occupancy) overflow tight subm windows by up to ~33k
+        # entries at L0; the sparse correction costs ~0.4 ms/conv there vs
+        # ~1 ms/conv for windows wide enough to not overflow (cumsum/
+        # scatter/gather micro-benches: all sub-0.3 ms at this scale).
+        return _windowed_exact(feats, weight, rules, _SUBM_GROUPS, 3,
+                               corr_cap=49152)
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 

@@ -3,6 +3,8 @@
 The reference's only parallelism is DDP data parallelism (SURVEY §2.3);
 our equivalent is one jitted shard_map step with lax.pmean'd grads."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -118,3 +120,68 @@ class TestMeshStep:
             collect_results(parts[1], 1, 2, gather_dir=td)
             merged = collect_results(parts[0], 0, 2, gather_dir=td) or []
             assert sorted(d['id'] for d in merged) == [0, 1, 2, 3]
+
+
+@pytest.mark.slow
+class TestMultiProcess:
+    """REAL multi-process distributed init + eval gather (VERDICT round-1
+    missing #5): two OS processes jax.distributed.initialize over localhost
+    (the reference's torchrun/NCCL equivalent, dist_train.sh:6 +
+    util/dist.py:27-31,76-112), run a cross-process allgather, and merge
+    ragged per-rank eval results through the shared-filesystem
+    collect_results protocol."""
+
+    WORKER = r'''
+import os, sys, pickle
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
+os.environ['JAX_PLATFORMS'] = 'cpu'
+rank, world, port, tmpd = (int(sys.argv[1]), int(sys.argv[2]),
+                           sys.argv[3], sys.argv[4])
+import jax
+jax.config.update('jax_platform_name', 'cpu')
+from softgroup_tpu.parallel.mesh import collect_results, init_dist
+r, w = init_dist(f'localhost:{port}', world, rank)
+assert (r, w) == (rank, world), (r, w)
+assert jax.device_count() == world, jax.device_count()
+import numpy as np
+from jax.experimental import multihost_utils
+g = multihost_utils.process_allgather(np.array([float(rank + 1)]))
+assert sorted(np.asarray(g).reshape(-1).tolist()) == [1.0, 2.0], g
+local = [f'scan_{rank + world * i}' for i in range(2 + rank)]
+merged = collect_results(local, r, w, gather_dir=os.path.join(tmpd, 'g'))
+if r == 0:
+    with open(os.path.join(tmpd, 'merged.pkl'), 'wb') as f:
+        pickle.dump(merged, f)
+else:
+    assert merged is None
+print('WORKER_OK', rank, flush=True)
+'''
+
+    def test_two_process_init_and_gather(self, tmp_path):
+        import pickle
+        import socket
+        import subprocess
+        import sys as _sys
+
+        with socket.socket() as s:
+            s.bind(('localhost', 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env.pop('PALLAS_AXON_POOL_IPS', None)
+        env['JAX_PLATFORMS'] = 'cpu'
+        env.pop('XLA_FLAGS', None)   # 1 cpu device per process
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
+        procs = [subprocess.Popen(
+            [_sys.executable, '-c', self.WORKER, str(rank), '2', str(port),
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for rank in range(2)]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        for rank, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f'rank {rank} failed:\n{out}'
+            assert f'WORKER_OK {rank}' in out
+        with open(tmp_path / 'merged.pkl', 'rb') as f:
+            merged = pickle.load(f)
+        # rank 0 had scans (0, 2), rank 1 (1, 3, 5): dataset order restored
+        assert merged == ['scan_0', 'scan_1', 'scan_2', 'scan_3', 'scan_5']
