@@ -18,7 +18,37 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..model.softgroup import Capacities, SceneBatch
+from ..ops.conv_kernel import (_DOWN_GROUPS, _SUBM_GROUPS,
+                               build_window_meta_np, down_plan, subm_plan)
 from ..ops.geometry import build_pyramid_np
+
+
+def _attach_window_meta(pyramid):
+    """Attach host-precomputed windowed-conv metadata (WindowMeta) to every
+    eligible pyramid level: window geometry and overflow-correction entries
+    depend only on the rulebooks (built right here on the host), and
+    computing them inside the device program costs ~8 ms/conv un-CSE-able
+    work (they sit inside the dispatch lax.cond) — ~300 ms/scan on
+    realistic room scenes."""
+    min_v = 512
+    levels = []
+    for i, lv in enumerate(pyramid.levels):
+        sr = np.asarray(lv.subm_rules)
+        v = sr.shape[1]
+        subm_win = down_win = None
+        b, w, n_win, cap = subm_plan(v)
+        if v % b == 0 and v >= min_v and v >= w:
+            subm_win = build_window_meta_np(sr, _SUBM_GROUPS, 3, w, b, v,
+                                            n_win, cap)
+        if lv.down_rules is not None:
+            dr = np.asarray(lv.down_rules)
+            vc = dr.shape[1]
+            b, w, n_win, cap = down_plan(vc)
+            if vc % b == 0 and vc >= min_v and v >= w:
+                down_win = build_window_meta_np(dr, _DOWN_GROUPS, 2, w, b,
+                                                v, n_win, cap)
+        levels.append(lv.replace(subm_win=subm_win, down_win=down_win))
+    return pyramid.replace(levels=tuple(levels))
 
 
 def round_capacity(n: int, granularity: float = 2 ** 0.5,
@@ -77,8 +107,8 @@ def build_scene_batch(coords: np.ndarray, coords_float: np.ndarray,
         batch_idxs = coords[:, 0]
     n = len(coords)
     assert n <= caps.points, f"{n} points exceed capacity {caps.points}"
-    pyramid = build_pyramid_np(coords, spatial_shape, num_levels,
-                               caps.voxels)
+    pyramid = _attach_window_meta(
+        build_pyramid_np(coords, spatial_shape, num_levels, caps.voxels))
     # re-pad the point-level maps to caps.points
     p2v = np.asarray(pyramid.p2v)
 

@@ -98,7 +98,7 @@ class SubMConv(nn.Module):
             return keyed_subm_conv_ad(x, w, lv.ckey, lv.spatial_d,
                                       tacc=tacc_enabled(),
                                       interpret=kernel_interpret())
-        return subm_conv(x, w, rules)
+        return subm_conv(x, w, rules, win=getattr(lv, 'subm_win', None))
 
 
 class DownConv(nn.Module):
@@ -118,7 +118,7 @@ class DownConv(nn.Module):
             return keyed_down_conv_ad(x, w, lv.ckey, nxt.ckey,
                                       nxt.spatial_d, tacc=tacc_enabled(),
                                       interpret=kernel_interpret())
-        return down_conv(x, w, rules)
+        return down_conv(x, w, rules, win=getattr(lv, 'down_win', None))
 
 
 class UpConv(nn.Module):
@@ -127,12 +127,13 @@ class UpConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, parent_idx, child_tap, down_rules=None):
+    def __call__(self, x, parent_idx, child_tap, down_rules=None, win=None):
         cin = x.shape[-1]
         w = self.param('kernel',
                        nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform'),
                        (8, cin, self.features))
-        return inverse_conv(x, w, parent_idx, child_tap, down_rules)
+        return inverse_conv(x, w, parent_idx, child_tap, down_rules,
+                            win=win)
 
 
 class MLP(nn.Module):
@@ -213,7 +214,8 @@ class UBlock(nn.Module):
                 y, nxt.vox_valid, train)
             y = nn.relu(y)
             y = UpConv(width, name='deconv')(y, lv.parent_idx, lv.child_tap,
-                                             lv.down_rules)
+                                             lv.down_rules,
+                                             getattr(lv, 'down_win', None))
             x = jnp.concatenate([x, y], axis=1)
             for i in range(self.block_reps):
                 x = ResidualBlock(width, name=f'block_tail{i}')(

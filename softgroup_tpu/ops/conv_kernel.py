@@ -41,6 +41,26 @@ from jax.experimental.pallas import tpu as pltpu
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+def subm_plan(v_out: int) -> tuple[int, int, int, int]:
+    """(block_b, window_w, n_win, corr_cap) for submanifold rulebooks, by
+    static output capacity.  Sizes chosen for near-zero overflow on
+    realistic scenes: DUAL windows (n_win=2) jump the block-target gaps
+    single windows must span; the residue (surface scenes overflow tight
+    subm windows by up to ~33k entries at L0 — walls are density cliffs in
+    the x-major sort order) is re-added exactly by the sparse correction."""
+    if v_out >= 65536:
+        return 256, 256, 2, 49152
+    return 128, 192, 2, 49152
+
+
+def down_plan(v_out: int) -> tuple[int, int, int, int]:
+    """(block_b, window_w, n_win, corr_cap) for k2s2 down rulebooks: fine
+    voxel order is not monotone in coarse order across x-slab boundaries,
+    so single windows overflow STRUCTURALLY (spans ~1900 rows at block
+    128); dual 384-wide windows jump the gap."""
+    return 128, 384, 2, 16384
+
+
 def _mm(lhs, rhs):
     """The ONE matmul site for every kernel below (ADVICE.md: the tacc /
     non-tacc branches previously duplicated precision/dtype settings):
@@ -132,6 +152,110 @@ def window_rules(rules: jax.Array, group_of_tap: np.ndarray, n_groups: int,
     starts = jnp.concatenate(
         [starts, blk_flag, step_valid[None, :].astype(jnp.int32)], axis=0)
     return local.reshape(k, v_out), starts, n_overflow
+
+
+def window_rules_np(rules: np.ndarray, group_of_tap: np.ndarray,
+                    n_groups: int, w: int, b: int, v_in: int,
+                    n_win: int = 1):
+    """HOST (numpy) mirror of ``window_rules`` (m_step=1): identical greedy
+    window placement, bit-identical outputs (tested in test_conv_kernel).
+
+    Why it exists: window geometry depends only on the rulebook, which the
+    host builds per batch (data/padding.py) — precomputing it there removes
+    all window/compaction work from the device program.  The device-side
+    version survives for device-built rulebooks (e.g. backward weight-grad
+    windows) and as the no-metadata fallback."""
+    int_max = np.iinfo(np.int32).max
+    rules = np.asarray(rules)
+    k, v_out = rules.shape
+    nb = v_out // b
+    rb = rules.reshape(k, nb, b)
+    blk_valid = (rb >= 0).any(axis=(0, 2))
+    starts, locals_g, tap_order = [], [], []
+    for g in range(n_groups):
+        taps = np.nonzero(group_of_tap == g)[0]
+        tap_order.extend(taps.tolist())
+        sel = rb[taps]
+        live = sel >= 0
+        assigned = ~live
+        loc = np.where(live, n_win * w, -1)
+        g_starts = []
+        for j in range(n_win):
+            rem = np.where(assigned, int_max, sel)
+            s = rem.min(axis=(0, 2))
+            empty = s == int_max
+            s = np.clip(np.where(empty, 0, s), 0, max(v_in - w, 0)) // 16
+            g_starts.append(np.where(empty, -1, s))
+            lj = sel - s[None, :, None] * 16
+            in_j = ~assigned & (lj >= 0) & (lj < w)
+            loc = np.where(in_j, j * w + lj, loc)
+            assigned = assigned | in_j
+        locals_g.append(loc)
+        starts.append(np.stack(g_starts, axis=0))
+    starts = np.stack(starts, axis=0).astype(np.int32)
+    local = np.concatenate(locals_g, axis=0)
+    inv = np.argsort(np.asarray(tap_order))
+    local = local[inv]
+    n_overflow = int((local >= n_win * w).sum())
+    starts = np.where(blk_valid[None, None, :], starts, -1)
+    starts = starts.reshape(n_groups * n_win, nb)
+    blk_flag = blk_valid[None, :].astype(np.int32)
+    starts = np.concatenate([starts, blk_flag, blk_flag], axis=0)
+    return (local.reshape(k, v_out).astype(np.int32), starts,
+            n_overflow)
+
+
+class WindowMeta:
+    """Host-precomputed windowed-conv metadata for one rulebook: the
+    window_rules outputs plus the compacted overflow-correction entries
+    (flat (tap, out_voxel, src_row) triples of every rulebook entry the
+    windows drop).  A plain pytree-of-arrays (registered below) so it rides
+    inside LevelGeom through jit/shard_map."""
+
+    def __init__(self, local, starts, n_overflow, corr_ke, corr_ve,
+                 corr_src):
+        self.local = local
+        self.starts = starts
+        self.n_overflow = n_overflow
+        self.corr_ke = corr_ke
+        self.corr_ve = corr_ve
+        self.corr_src = corr_src
+
+    def tree_flatten(self):
+        return ((self.local, self.starts, self.n_overflow, self.corr_ke,
+                 self.corr_ve, self.corr_src), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    WindowMeta, WindowMeta.tree_flatten, WindowMeta.tree_unflatten)
+
+
+def build_window_meta_np(rules: np.ndarray, group_of_tap, n_groups: int,
+                         w: int, b: int, v_in: int, n_win: int,
+                         corr_cap: int) -> WindowMeta:
+    """Host-side WindowMeta: window_rules_np + gather-compacted overflow
+    entries, as jnp arrays ready to ship with the batch."""
+    rules = np.asarray(rules)
+    gmap = np.asarray(group_of_tap, np.int32)
+    local, starts, n_over = window_rules_np(rules, gmap, n_groups, w, b,
+                                            v_in, n_win)
+    v_out = rules.shape[1]
+    flat = rules.reshape(-1)
+    eidx = np.flatnonzero(local.reshape(-1) >= n_win * w)[:corr_cap]
+    ke = np.full((corr_cap,), -1, np.int32)
+    ve = np.full((corr_cap,), -1, np.int32)
+    src = np.full((corr_cap,), -1, np.int32)
+    m = len(eidx)
+    ke[:m] = eidx // v_out
+    ve[:m] = eidx % v_out
+    src[:m] = flat[eidx]
+    return WindowMeta(jnp.asarray(local), jnp.asarray(starts),
+                      jnp.asarray(np.int32(n_over)), jnp.asarray(ke),
+                      jnp.asarray(ve), jnp.asarray(src))
 
 
 def window_overflow(rules: jax.Array, group_of_tap, n_groups: int,
@@ -426,8 +550,6 @@ def overflow_correction(feats: jax.Array, weight: jax.Array,
     fallback (down-conv windows overflow structurally at ScanNet scale —
     spans up to ~1900 rows at block 128 — because fine-voxel order is not
     monotone in coarse-voxel order across x-slab boundaries)."""
-    k, cin = weight.shape[0], weight.shape[1]
-    cout = weight.shape[2]
     n = rules.size
     flat_rules = rules.reshape(-1)
     mask = local.reshape(-1) >= w
@@ -437,21 +559,36 @@ def overflow_correction(feats: jax.Array, weight: jax.Array,
     # funneling into one dustbin slot; XLA lowers that to a serialized
     # scatter fusion measured at 73.6 ms/conv on room scenes (the round-2
     # profile's top op, 515 of 522 ms/scan) vs 0.04 ms for this form.
+    # NOTE: sits inside the dispatch lax.cond, so XLA cannot CSE it across
+    # convs sharing a rulebook (~8 ms each on room scenes) — production
+    # ships host-precomputed entries instead (WindowMeta -> corr paths).
     cs = jnp.cumsum(mask.astype(jnp.int32))
     pos = jnp.searchsorted(cs, jnp.arange(1, cap + 1, dtype=jnp.int32),
                            side='left').astype(jnp.int32)
     valid = pos < n
-    eidx = jnp.where(valid, pos, -1)
-    eclip = jnp.where(valid, eidx, 0)
-    ke = eclip // rules.shape[1]
-    ve = eclip % rules.shape[1]
+    eclip = jnp.where(valid, pos, 0)
+    ke = jnp.where(valid, eclip // rules.shape[1], -1)
+    ve = jnp.where(valid, eclip % rules.shape[1], -1)
     src = jnp.where(valid, flat_rules[eclip], -1)
+    return overflow_correction_entries(feats, weight, ke, ve, src, v_out)
+
+
+def overflow_correction_entries(feats: jax.Array, weight: jax.Array,
+                                ke: jax.Array, ve: jax.Array,
+                                src: jax.Array, v_out: int) -> jax.Array:
+    """Exact (V_out, Cout) correction from compacted dropped-entry triples
+    (tap, out_voxel, src_row), -1 = unused slot: gather the input rows,
+    apply the per-tap weight via one one-hot block matmul (the scatter-free
+    inverse-conv trick), scatter-add into the output."""
+    k, cin, cout = weight.shape
+    cap = ke.shape[0]
+    valid = ve >= 0
     v_in = feats.shape[0]
     padded = jnp.concatenate(
         [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
     rows = padded[jnp.where(src < 0, v_in, src)]          # (cap, Cin)
     cd = jnp.bfloat16
-    oh = jax.nn.one_hot(ke, k, dtype=cd)
+    oh = jax.nn.one_hot(jnp.clip(ke, 0, k - 1), k, dtype=cd)
     aug = (oh[:, :, None] * rows[:, None, :].astype(cd)).reshape(
         cap, k * cin)
     contrib = jnp.dot(aug, weight.astype(cd).reshape(k * cin, cout),

@@ -48,6 +48,12 @@ class LevelGeom:
     dims: jax.Array        # (3,) int32 spatial extent at this level
     ckey: jax.Array | None = None   # (V,) sorted linear keys (keyed levels)
     spatial_d: int = struct.field(pytree_node=False, default=0)
+    # host-precomputed windowed-conv metadata (conv_kernel.WindowMeta) for
+    # subm_rules / down_rules — window geometry + compacted overflow
+    # correction entries, so the device program does zero window work
+    # (built in data/padding.py; None for device-built pyramids)
+    subm_win: object | None = None
+    down_win: object | None = None
 
 
 @struct.dataclass

@@ -36,16 +36,11 @@ _KERNEL_MIN_VOXELS = 512
 
 
 def _kernel_bw(v_out: int) -> tuple[int, int, int]:
-    """(block_b, window_w, n_win) by output size.  Since round 2 every
-    windowed dispatch is exact (overflow -> sparse correction, or XLA past
-    the correction capacity), so sizes are chosen for near-zero overflow on
-    realistic scenes: DUAL windows (n_win=2, conv_kernel.window_rules) jump
-    the block-target gaps that single windows must span — measured at
-    ScanNet bench scale (250k pts, 3 seeds) subm (256, 2x256) and down
-    (128, 2x384) overflow 0-283 entries vs up to 16k single-window."""
-    if v_out >= 65536:
-        return 256, 256, 2
-    return 128, 192, 2
+    """(block_b, window_w, n_win) by output size — see conv_kernel.subm_plan
+    (the single source of window sizing, shared with the host-side
+    WindowMeta precompute in data/padding.py)."""
+    from .conv_kernel import subm_plan
+    return subm_plan(v_out)[:3]
 
 
 def _kernel_ok(v_out: int, v_in: int, cout: int) -> bool:
@@ -59,26 +54,43 @@ def _kernel_ok(v_out: int, v_in: int, cout: int) -> bool:
 
 
 def _windowed_exact(feats, weight, rules, groups, n_groups,
-                    corr_cap=4096, b=None, w=None, n_win=1):
-    """Windowed-kernel conv, EXACT at any rulebook: one shared window_rules
-    pass feeds the kernel, the overflow count, and (when overflow > 0) the
-    sparse correction that re-adds dropped taps (conv_kernel.
-    overflow_correction).  Only rulebooks with more than ``corr_cap``
-    dropped entries fall back to the full XLA conv."""
+                    corr_cap=4096, b=None, w=None, n_win=1, win=None):
+    """Windowed-kernel conv, EXACT at any rulebook: window_rules feeds the
+    kernel, the overflow count, and (when overflow > 0) the sparse
+    correction that re-adds dropped taps.  Only rulebooks with more than
+    ``corr_cap`` dropped entries fall back to the full XLA conv.
+
+    ``win`` (conv_kernel.WindowMeta): host-precomputed window geometry +
+    compacted correction entries, shipped with the batch (data/padding.py).
+    Without it everything is recomputed on device per conv — and because it
+    sits inside this dispatch's lax.cond, XLA cannot CSE it across the
+    convs sharing a rulebook (measured ~8 ms/conv extra on room scenes)."""
     import numpy as np
 
     from .conv_kernel import (_stack_weight, _windowed_conv_core,
-                              overflow_correction, window_rules)
+                              overflow_correction,
+                              overflow_correction_entries, window_rules)
     from .dispatch import kernel_interpret, tacc_enabled
     if b is None:
         b, w, n_win = _kernel_bw(rules.shape[1])
     if feats.shape[0] < w or rules.shape[1] % b:
         return _conv_xla(feats, weight, rules, feats.dtype)
     v_out = rules.shape[1]
-    gmap = np.asarray(groups, np.int32)
-    local, starts, n_over = window_rules(rules, gmap, n_groups, w, b,
-                                         feats.shape[0], n_win=n_win)
+    if win is not None:
+        local, starts, n_over = win.local, win.starts, win.n_overflow
+    else:
+        gmap = np.asarray(groups, np.int32)
+        local, starts, n_over = window_rules(rules, gmap, n_groups, w, b,
+                                             feats.shape[0], n_win=n_win)
     wstack = _stack_weight(weight, n_groups)
+
+    def correction():
+        if win is not None:
+            return overflow_correction_entries(
+                feats, weight, win.corr_ke, win.corr_ve, win.corr_src,
+                v_out)
+        return overflow_correction(feats, weight, rules, local, n_win * w,
+                                   corr_cap, v_out)
 
     def kernel_path():
         out = _windowed_conv_core(feats, wstack, local, starts, n_groups,
@@ -87,9 +99,8 @@ def _windowed_exact(feats, weight, rules, groups, n_groups,
         return jax.lax.cond(
             n_over == 0,
             lambda: out,
-            lambda: (out.astype(jnp.float32) + overflow_correction(
-                feats, weight, rules, local, n_win * w, corr_cap, v_out)
-            ).astype(out.dtype))
+            lambda: (out.astype(jnp.float32) + correction()
+                     ).astype(out.dtype))
 
     return jax.lax.cond(n_over <= corr_cap, kernel_path,
                         lambda: _conv_xla(feats, weight, rules, feats.dtype))
@@ -104,19 +115,22 @@ def _gather_padded(feats: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def subm_conv(feats: jax.Array, weight: jax.Array, rules: jax.Array,
-              compute_dtype=None) -> jax.Array:
+              compute_dtype=None, win=None) -> jax.Array:
     """Submanifold k=3 conv: feats (V, Cin), weight (27, Cin, Cout),
     rules (27, V) -> (V, Cout).
 
     Matches `spconv.SubMConv3d(kernel_size=3, padding=1, bias=False)`.
     The 27 gathers+matmuls are expressed as one batched einsum so XLA can
-    schedule them as a single large contraction.
+    schedule them as a single large contraction.  ``win``: optional
+    host-precomputed WindowMeta for this rulebook (see _windowed_exact).
     """
     cd = compute_dtype or feats.dtype
     if rules.shape[0] == 27 and feats.shape[0] == rules.shape[1]:
-        return _subm_vjp(feats.astype(cd), weight, rules).astype(feats.dtype)
+        return _subm_vjp(feats.astype(cd), weight, rules,
+                         win).astype(feats.dtype)
     if rules.shape[0] == 8:
-        return _down_vjp(feats.astype(cd), weight, rules).astype(feats.dtype)
+        return _down_vjp(feats.astype(cd), weight, rules,
+                         win).astype(feats.dtype)
     return _conv_xla(feats, weight, rules, cd)
 
 
@@ -171,7 +185,7 @@ def _dw(feats, g, rules, groups, n_groups, weight_dtype):
 
 
 @jax.custom_vjp
-def _subm_vjp(feats, weight, rules):
+def _subm_vjp(feats, weight, rules, win):
     """Submanifold conv with a scatter-free backward.
 
     Forward: Pallas windowed kernel when eligible, XLA gather-GEMM
@@ -181,63 +195,58 @@ def _subm_vjp(feats, weight, rules):
     pure gathers on both backends, never XLA's scatter-add transpose.
     """
     if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
-        from .conv_kernel import _SUBM_GROUPS
+        from .conv_kernel import _SUBM_GROUPS, subm_plan
         # transposed accumulator (tacc, threaded via dispatch.py): the
         # one-hot matmul's output lanes become the block dim instead of
         # Cout padded to 128 lanes.  Measured in-program (bench.py):
         # 106.5 -> 76.4 ms/scan enabling it at every width.
-        #
-        # corr_cap 49152: SURFACE scenes (thin voxel slabs — the realistic
-        # ScanNet occupancy) overflow tight subm windows by up to ~33k
-        # entries at L0; the sparse correction costs ~0.4 ms/conv there vs
-        # ~1 ms/conv for windows wide enough to not overflow (cumsum/
-        # scatter/gather micro-benches: all sub-0.3 ms at this scale).
         return _windowed_exact(feats, weight, rules, _SUBM_GROUPS, 3,
-                               corr_cap=49152)
+                               corr_cap=subm_plan(rules.shape[1])[3],
+                               win=win)
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 
-def _subm_fwd(feats, weight, rules):
-    return _subm_vjp(feats, weight, rules), (feats, weight, rules)
+def _subm_fwd(feats, weight, rules, win):
+    return _subm_vjp(feats, weight, rules, win), (feats, weight, rules, win)
 
 
 def _subm_bwd(res, g):
     from .conv_kernel import _SUBM_GROUPS
-    feats, weight, rules = res
+    feats, weight, rules, win = res
     w_t = jnp.flip(jnp.swapaxes(weight, 1, 2), axis=0)
-    g_feats = _subm_vjp(g.astype(feats.dtype), w_t, rules)
+    # the transposed conv runs on the SAME rulebook, and WindowMeta is
+    # weight-independent (the correction applies whatever weights the call
+    # passes — here the flipped transposed ones), so win is reused as-is
+    g_feats = _subm_vjp(g.astype(feats.dtype), w_t, rules, win)
     g_weight = _dw(feats, g, rules, _SUBM_GROUPS, 3, weight.dtype)
-    return g_feats, g_weight, None
+    return g_feats, g_weight, None, None
 
 
 _subm_vjp.defvjp(_subm_fwd, _subm_bwd)
 
 
 @jax.custom_vjp
-def _down_vjp(feats, weight, rules):
+def _down_vjp(feats, weight, rules, win):
     """k2s2 down conv with a scatter-free backward: grad wrt the fine feats
     is the paired INVERSE conv (each fine voxel has exactly one (parent,
     tap)) — a gather, reconstructed from the down rulebook with one small
     int scatter instead of XLA's (V_fine, C) scatter-add transpose."""
     if _kernel_ok(rules.shape[1], feats.shape[0], weight.shape[2]):
-        from .conv_kernel import _DOWN_GROUPS
-        # fine-voxel order is not monotone in coarse order across x-slab
-        # boundaries, so single down windows overflow STRUCTURALLY at scale
-        # (spans up to ~1900 rows at block 128); dual windows jump the gap
-        # (measured <= 283 dropped entries at bench scale), the correction
-        # re-adds the stragglers exactly.
+        from .conv_kernel import _DOWN_GROUPS, down_plan
+        b, w, n_win, cap = down_plan(rules.shape[1])
         return _windowed_exact(feats, weight, rules, _DOWN_GROUPS, 2,
-                               corr_cap=16384, b=128, w=384, n_win=2)
+                               corr_cap=cap, b=b, w=w, n_win=n_win,
+                               win=win)
     return _conv_xla(feats, weight, rules, feats.dtype)
 
 
-def _down_fwd(feats, weight, rules):
-    return _down_vjp(feats, weight, rules), (feats, weight, rules)
+def _down_fwd(feats, weight, rules, win):
+    return _down_vjp(feats, weight, rules, win), (feats, weight, rules, win)
 
 
 def _down_bwd(res, g):
     from .conv_kernel import _DOWN_GROUPS
-    feats, weight, rules = res
+    feats, weight, rules, win = res
     v_f = feats.shape[0]
     v_c = rules.shape[1]
     k = rules.shape[0]
@@ -252,20 +261,20 @@ def _down_bwd(res, g):
     w_t = jnp.swapaxes(weight, 1, 2)
     g_feats = inverse_conv(g.astype(feats.dtype), w_t, parent_idx, child_tap)
     g_weight = _dw(feats, g, rules, _DOWN_GROUPS, 2, weight.dtype)
-    return g_feats, g_weight, None
+    return g_feats, g_weight, None, None
 
 
 _down_vjp.defvjp(_down_fwd, _down_bwd)
 
 
 def down_conv(feats: jax.Array, weight: jax.Array, down_rules: jax.Array,
-              compute_dtype=None) -> jax.Array:
+              compute_dtype=None, win=None) -> jax.Array:
     """Strided k=2 s=2 conv: feats (V_fine, Cin), weight (8, Cin, Cout),
     down_rules (8, V_coarse) -> (V_coarse, Cout).
 
     Matches `spconv.SparseConv3d(kernel_size=2, stride=2, bias=False)`.
     """
-    return subm_conv(feats, weight, down_rules, compute_dtype)
+    return subm_conv(feats, weight, down_rules, compute_dtype, win)
 
 
 def _inverse_fwd(feats, weight, parent_idx, child_tap, cd):
@@ -287,7 +296,7 @@ def _inverse_fwd(feats, weight, parent_idx, child_tap, cd):
 
 def inverse_conv(feats: jax.Array, weight: jax.Array, parent_idx: jax.Array,
                  child_tap: jax.Array, down_rules: jax.Array | None = None,
-                 compute_dtype=None) -> jax.Array:
+                 compute_dtype=None, win=None) -> jax.Array:
     """Inverse (up) k=2 conv: feats (V_coarse, Cin), weight (8, Cin, Cout),
     parent_idx (V_fine,), child_tap (V_fine,) -> (V_fine, Cout).
 
@@ -304,32 +313,35 @@ def inverse_conv(feats: jax.Array, weight: jax.Array, parent_idx: jax.Array,
     cd = compute_dtype or feats.dtype
     if down_rules is not None:
         return _inv_vjp(feats.astype(cd), weight, parent_idx, child_tap,
-                        down_rules).astype(feats.dtype)
+                        down_rules, win).astype(feats.dtype)
     out, _ = _inverse_fwd(feats, weight, parent_idx, child_tap, cd)
     return out.astype(feats.dtype)
 
 
 @jax.custom_vjp
-def _inv_vjp(feats, weight, parent_idx, child_tap, down_rules):
+def _inv_vjp(feats, weight, parent_idx, child_tap, down_rules, win):
     out, _ = _inverse_fwd(feats, weight, parent_idx, child_tap, feats.dtype)
     return out.astype(feats.dtype)
 
 
-def _inv_fwd(feats, weight, parent_idx, child_tap, down_rules):
-    return _inv_vjp(feats, weight, parent_idx, child_tap, down_rules), (
-        feats, weight, parent_idx, child_tap, down_rules)
+def _inv_fwd(feats, weight, parent_idx, child_tap, down_rules, win):
+    return _inv_vjp(feats, weight, parent_idx, child_tap, down_rules,
+                    win), (feats, weight, parent_idx, child_tap, down_rules,
+                           win)
 
 
 def _inv_bwd(res, g):
-    feats, weight, parent_idx, child_tap, down_rules = res
+    feats, weight, parent_idx, child_tap, down_rules, win = res
     k, cin, cout = weight.shape
     # dfeats: the paired down conv of the cotangent (gather, no scatter)
     w_t = jnp.swapaxes(weight, 1, 2)
     gc = g.astype(feats.dtype)
     if _kernel_ok(down_rules.shape[1], g.shape[0], cin):
-        from .conv_kernel import _DOWN_GROUPS
+        from .conv_kernel import _DOWN_GROUPS, down_plan
+        b, w, n_win, cap = down_plan(down_rules.shape[1])
         g_feats = _windowed_exact(gc, w_t, down_rules, _DOWN_GROUPS, 2,
-                                  corr_cap=16384, b=128, w=384, n_win=2)
+                                  corr_cap=cap, b=b, w=w, n_win=n_win,
+                                  win=win)
     else:
         g_feats = _conv_xla(gc, w_t, down_rules, feats.dtype)
     # dW: one big matmul against the recomputed one-hot block matrix
@@ -337,7 +349,7 @@ def _inv_bwd(res, g):
     g_weight = jnp.dot(aug.T, g.astype(aug.dtype),
                        preferred_element_type=jnp.float32)
     g_weight = g_weight.reshape(k, cin, cout).astype(weight.dtype)
-    return g_feats.astype(feats.dtype), g_weight, None, None, None
+    return g_feats.astype(feats.dtype), g_weight, None, None, None, None
 
 
 _inv_vjp.defvjp(_inv_fwd, _inv_bwd)

@@ -413,3 +413,104 @@ class TestOverflowFallback:
         n_bad = keyed_window_overflow(ckey, ckey, d, _SUBM_OFFS,
                                       _SUBM_GROUPS, 3, 512, 128, False)
         assert int(n_bad) == 0
+
+
+class TestWindowMeta:
+    """Host-precomputed window metadata (WindowMeta): the numpy
+    window_rules port must be bit-identical to the device version, and the
+    dispatch fed precomputed metadata must match the exact XLA conv even
+    when the correction path engages (round 2: on room scenes the
+    in-device window/compaction work cannot be CSE'd across convs inside
+    the dispatch lax.cond — ~8 ms/conv — so data/padding.py ships it with
+    the batch)."""
+
+    def _rules(self, rng, pathological=False):
+        if pathological:
+            v = 512
+            rules = np.full((27, v), -1, np.int32)
+            rules[13] = np.arange(v)
+            rules[0, 0], rules[1, 1], rules[2, 2] = 0, 250, 500
+            return rules, v
+        vox = _scene(rng)
+        dims = vox[:, 1:].max(0) + 1
+        r = build_subm_rules_np(vox, dims)
+        cap = ((len(vox) + 127) // 128) * 128 + 128
+        rules = np.full((27, cap), -1, np.int32)
+        rules[:, :len(vox)] = r
+        return rules, cap
+
+    @pytest.mark.parametrize('pathological', [False, True])
+    @pytest.mark.parametrize('n_win', [1, 2])
+    def test_window_rules_np_matches_device(self, rng, pathological, n_win):
+        from softgroup_tpu.ops.conv_kernel import window_rules_np
+        rules, cap = self._rules(rng, pathological)
+        gmap = np.asarray(_SUBM_GROUPS, np.int32)
+        b, w = 128, 192
+        l_np, s_np, n_np = window_rules_np(rules, gmap, 3, w, b, cap,
+                                           n_win=n_win)
+        l_j, s_j, n_j = window_rules(jnp.asarray(rules), gmap, 3, w, b,
+                                     cap, n_win=n_win)
+        np.testing.assert_array_equal(l_np, np.asarray(l_j))
+        np.testing.assert_array_equal(s_np, np.asarray(s_j))
+        assert n_np == int(n_j)
+
+    @pytest.mark.parametrize('pathological', [False, True])
+    def test_dispatch_with_meta_matches_oracle(self, rng, pathological):
+        """subm_conv fed a WindowMeta (the production path: metadata from
+        the host batch build) == exact XLA conv; the pathological rulebook
+        forces the precomputed-entry correction branch."""
+        from softgroup_tpu.ops import dispatch
+        from softgroup_tpu.ops.conv_kernel import (build_window_meta_np,
+                                                   subm_plan)
+        from softgroup_tpu.ops.sparse_conv import _conv_xla, subm_conv
+        rules, cap = self._rules(rng, pathological)
+        b, w, n_win, ccap = subm_plan(cap)
+        meta = build_window_meta_np(rules, _SUBM_GROUPS, 3, w, b, cap,
+                                    n_win, ccap)
+        if pathological:
+            assert int(np.asarray(meta.n_overflow)) > 0
+            assert int(np.asarray(meta.corr_ve).max()) >= 0
+        cin, cout = 8, 8
+        feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+        weight = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+        rules_j = jnp.asarray(rules)
+        ref = np.asarray(_conv_xla(feats, weight, rules_j, jnp.float32))
+        dispatch.set_kernels(True)
+        dispatch.set_interpret(True)
+        try:
+            out = np.asarray(subm_conv(feats, weight, rules_j, win=meta))
+        finally:
+            dispatch.set_kernels(None)
+            dispatch.set_interpret(None)
+        np.testing.assert_allclose(out, ref, rtol=0.03, atol=0.05)
+
+    def test_batch_build_attaches_meta(self, rng):
+        """build_scene_batch ships WindowMeta on every eligible level, and
+        its contents equal an on-the-spot recompute from the shipped
+        rulebooks."""
+        from softgroup_tpu.data.padding import build_scene_batch
+        from softgroup_tpu.data.synthetic import collate_scenes, make_scene
+        from softgroup_tpu.model.softgroup import Capacities
+        from softgroup_tpu.ops.conv_kernel import (build_window_meta_np,
+                                                   subm_plan)
+        caps = Capacities(points=8192, voxels=(8192, 4096, 2048),
+                          grouping_points=16384, proposals=32,
+                          proposal_entries=16384, instances=32,
+                          inst_voxels=(4096, 1024))
+        scene = make_scene(rng, n_points=5000, n_instances=4)
+        data = collate_scenes([scene], scale=50.0)
+        batch = build_scene_batch(
+            data['coords'], data['coords_float'], data['feats'],
+            data['semantic_labels'], data['instance_labels'],
+            data['pt_offset_labels'], data['instance_pointnum'],
+            data['instance_cls'], data['spatial_shape'], caps, num_levels=3)
+        lv0 = batch.pyramid.levels[0]
+        assert lv0.subm_win is not None and lv0.down_win is not None
+        v = lv0.subm_rules.shape[1]
+        b, w, n_win, ccap = subm_plan(v)
+        ref = build_window_meta_np(np.asarray(lv0.subm_rules),
+                                   _SUBM_GROUPS, 3, w, b, v, n_win, ccap)
+        np.testing.assert_array_equal(np.asarray(lv0.subm_win.local),
+                                      np.asarray(ref.local))
+        np.testing.assert_array_equal(np.asarray(lv0.subm_win.starts),
+                                      np.asarray(ref.starts))
