@@ -125,4 +125,110 @@ int64_t sg_downsample(const int32_t* vox, int64_t m, int32_t* out_coords,
   return c;
 }
 
+// Windowed-conv metadata for one rulebook (the C twin of
+// conv_kernel.window_rules_np + build_window_meta_np — bit-identical greedy
+// dual-window placement, m_step=1).  The python mirror is the reference
+// implementation; this one exists because the numpy version costs ~4 s per
+// ScanNet-scale scan (the metadata is built per batch on the host).
+//
+// rules: (k, v_out) int32 row-major.  Outputs:
+//   local  (k, v_out) int32 window-local indices (>= n_win*w: dropped)
+//   starts (n_groups*n_win + 2, nb) int32 (units of 16 rows; -1 unused;
+//          last two rows = per-block any-live flag, duplicated)
+//   corr_ke / corr_ve / corr_src (corr_cap) int32, -1 pad: compacted
+//          dropped entries in flat (tap-major) order
+// Returns total n_overflow (may exceed corr_cap).
+int64_t sg_window_meta(const int32_t* rules, int64_t k, int64_t v_out,
+                       const int32_t* group_of_tap, int64_t n_groups,
+                       int64_t w, int64_t b, int64_t v_in, int64_t n_win,
+                       int32_t* local, int32_t* starts, int32_t* corr_ke,
+                       int32_t* corr_ve, int32_t* corr_src,
+                       int64_t corr_cap) {
+  const int64_t nb = v_out / b;
+  const int32_t kINT_MAX = INT32_MAX;
+  const int64_t smax = v_in - w > 0 ? v_in - w : 0;
+  const int64_t drop = n_win * w;
+  std::vector<int32_t> taps_of_group[32];
+  for (int64_t t = 0; t < k; ++t)
+    taps_of_group[group_of_tap[t]].push_back(int32_t(t));
+
+  std::vector<uint8_t> blk_valid(nb, 0);
+  for (int64_t t = 0; t < k; ++t) {
+    const int32_t* row = rules + t * v_out;
+    for (int64_t i = 0; i < nb; ++i) {
+      if (blk_valid[i]) continue;
+      const int32_t* blk = row + i * b;
+      for (int64_t j = 0; j < b; ++j)
+        if (blk[j] >= 0) { blk_valid[i] = 1; break; }
+    }
+  }
+
+  const int64_t srows = n_groups * n_win + 2;
+  std::fill(starts, starts + srows * nb, -1);
+  // per-(group, block) work runs on a contiguous scratch copy of the
+  // block's tap rows: the naive strided walk re-touches k cache-distant
+  // rulebook rows per pass (measured 188 ms at ScanNet L0; ~4x faster
+  // blocked like this)
+  std::vector<int32_t> sel_s(size_t(32) * b);
+  std::vector<int32_t> loc_s(size_t(32) * b);
+  for (int64_t g = 0; g < n_groups; ++g) {
+    const auto& taps = taps_of_group[g];
+    const int64_t tpg = int64_t(taps.size());
+    for (int64_t i = 0; i < nb; ++i) {
+      const int64_t ne = tpg * b;
+      for (int64_t p = 0; p < tpg; ++p)
+        std::memcpy(sel_s.data() + p * b,
+                    rules + int64_t(taps[p]) * v_out + i * b, 4 * b);
+      // init: dead entries -1 & assigned; live entries default dropped
+      for (int64_t e = 0; e < ne; ++e)
+        loc_s[e] = sel_s[e] >= 0 ? int32_t(drop) : -1;
+      for (int64_t win = 0; win < n_win; ++win) {
+        int32_t s = kINT_MAX;
+        for (int64_t e = 0; e < ne; ++e)
+          if (loc_s[e] == drop && sel_s[e] < s) s = sel_s[e];
+        const bool empty = s == kINT_MAX;
+        int64_t sc = empty ? 0 : s;
+        if (sc > smax) sc = smax;
+        if (sc < 0) sc = 0;
+        sc /= 16;
+        if (blk_valid[i])
+          starts[(g * n_win + win) * nb + i] = empty ? -1 : int32_t(sc);
+        const int64_t lo = sc * 16;
+        for (int64_t e = 0; e < ne; ++e) {
+          if (loc_s[e] != drop) continue;
+          const int64_t lj = int64_t(sel_s[e]) - lo;
+          if (lj >= 0 && lj < w) loc_s[e] = int32_t(win * w + lj);
+        }
+      }
+      for (int64_t p = 0; p < tpg; ++p)
+        std::memcpy(local + int64_t(taps[p]) * v_out + i * b,
+                    loc_s.data() + p * b, 4 * b);
+    }
+  }
+  for (int64_t i = 0; i < nb; ++i) {
+    starts[(n_groups * n_win) * nb + i] = blk_valid[i];
+    starts[(n_groups * n_win + 1) * nb + i] = blk_valid[i];
+  }
+
+  std::fill(corr_ke, corr_ke + corr_cap, -1);
+  std::fill(corr_ve, corr_ve + corr_cap, -1);
+  std::fill(corr_src, corr_src + corr_cap, -1);
+  int64_t n_over = 0;
+  for (int64_t t = 0; t < k; ++t) {
+    const int32_t* loc = local + t * v_out;
+    const int32_t* row = rules + t * v_out;
+    for (int64_t v = 0; v < v_out; ++v) {
+      if (loc[v] >= drop) {
+        if (n_over < corr_cap) {
+          corr_ke[n_over] = int32_t(t);
+          corr_ve[n_over] = int32_t(v);
+          corr_src[n_over] = row[v];
+        }
+        ++n_over;
+      }
+    }
+  }
+  return n_over;
+}
+
 }  // extern "C"

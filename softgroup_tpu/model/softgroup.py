@@ -121,7 +121,7 @@ class SoftGroupNet(nn.Module):
         lv0 = pyramid.levels[0]
         if self.bf16:
             x = x.astype(jnp.bfloat16)
-        x = self.input_conv(x, lv0.subm_rules)
+        x = self.input_conv(x, lv0)
         x = self.unet(x, pyramid.levels, self._t('unet', train))
         x = self.output_norm(x, lv0.vox_valid,
                              self._t('output_norm', train))
@@ -143,7 +143,7 @@ class SoftGroupNet(nn.Module):
         lv0 = pyramid.levels[0]
         if self.bf16:
             x = x.astype(jnp.bfloat16)
-        x = self.input_conv(x, lv0.subm_rules)
+        x = self.input_conv(x, lv0)
         x = self.unet(x, pyramid.levels, self._t('unet', train))
         x = self.output_norm(x, lv0.vox_valid, self._t('output_norm', train))
         x = nn.relu(x)

@@ -238,21 +238,28 @@ def build_window_meta_np(rules: np.ndarray, group_of_tap, n_groups: int,
                          w: int, b: int, v_in: int, n_win: int,
                          corr_cap: int) -> WindowMeta:
     """Host-side WindowMeta: window_rules_np + gather-compacted overflow
-    entries, as jnp arrays ready to ship with the batch."""
+    entries, as jnp arrays ready to ship with the batch.  Uses the native
+    C++ kernel (csrc/hostops.cpp sg_window_meta) when available — the numpy
+    mirror costs ~4 s per ScanNet-scale scan, the native one ~50 ms."""
+    from . import native
     rules = np.asarray(rules)
     gmap = np.asarray(group_of_tap, np.int32)
-    local, starts, n_over = window_rules_np(rules, gmap, n_groups, w, b,
-                                            v_in, n_win)
     v_out = rules.shape[1]
-    flat = rules.reshape(-1)
-    eidx = np.flatnonzero(local.reshape(-1) >= n_win * w)[:corr_cap]
-    ke = np.full((corr_cap,), -1, np.int32)
-    ve = np.full((corr_cap,), -1, np.int32)
-    src = np.full((corr_cap,), -1, np.int32)
-    m = len(eidx)
-    ke[:m] = eidx // v_out
-    ve[:m] = eidx % v_out
-    src[:m] = flat[eidx]
+    if native.use_native():
+        local, starts, n_over, ke, ve, src = native.window_meta_native(
+            rules, gmap, n_groups, w, b, v_in, n_win, corr_cap)
+    else:
+        local, starts, n_over = window_rules_np(rules, gmap, n_groups, w, b,
+                                                v_in, n_win)
+        flat = rules.reshape(-1)
+        eidx = np.flatnonzero(local.reshape(-1) >= n_win * w)[:corr_cap]
+        ke = np.full((corr_cap,), -1, np.int32)
+        ve = np.full((corr_cap,), -1, np.int32)
+        src = np.full((corr_cap,), -1, np.int32)
+        m = len(eidx)
+        ke[:m] = eidx // v_out
+        ve[:m] = eidx % v_out
+        src[:m] = flat[eidx]
     return WindowMeta(jnp.asarray(local), jnp.asarray(starts),
                       jnp.asarray(np.int32(n_over)), jnp.asarray(ke),
                       jnp.asarray(ve), jnp.asarray(src))

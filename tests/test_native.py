@@ -43,3 +43,36 @@ def test_downsample_matches_numpy(rng):
     np.testing.assert_array_equal(down, ref_down)
     np.testing.assert_array_equal(parent, ref_parent)
     np.testing.assert_array_equal(tap, ref_tap)
+
+
+@pytest.mark.parametrize('n_win', [1, 2])
+def test_window_meta_matches_numpy(rng, n_win):
+    """sg_window_meta == window_rules_np + numpy compaction, bit-identical
+    (incl. an overflowing rulebook so the correction entries are exercised,
+    and a padded capacity region so dead blocks are exercised)."""
+    from softgroup_tpu.ops.conv_kernel import _SUBM_GROUPS, window_rules_np
+    coords = random_coords(rng, 4000)
+    vc, _, _ = voxelize_np(coords)
+    dims = np.array([24, 24, 24])
+    r = build_subm_rules_np(vc, dims)
+    cap = ((len(vc) + 127) // 128) * 128 + 256
+    rules = np.full((27, cap), -1, np.int32)
+    rules[:, :len(vc)] = r
+    # three far targets in one block-group defeat dual windows -> overflow
+    rules[0, 0], rules[1, 1], rules[2, 2] = 0, cap // 2, cap - 12
+    gmap = np.asarray(_SUBM_GROUPS, np.int32)
+    b, w, ccap = 128, 192, 4096
+    ref_local, ref_starts, ref_over = window_rules_np(
+        rules, gmap, 3, w, b, cap, n_win=n_win)
+    flat = rules.reshape(-1)
+    eidx = np.flatnonzero(ref_local.reshape(-1) >= n_win * w)[:ccap]
+    local, starts, n_over, ke, ve, src = native.window_meta_native(
+        rules, gmap, 3, w, b, cap, n_win, ccap)
+    np.testing.assert_array_equal(local, ref_local)
+    np.testing.assert_array_equal(starts, ref_starts)
+    assert n_over == ref_over and n_over > 0
+    m = len(eidx)
+    np.testing.assert_array_equal(ke[:m], eidx // cap)
+    np.testing.assert_array_equal(ve[:m], eidx % cap)
+    np.testing.assert_array_equal(src[:m], flat[eidx])
+    assert (ke[m:] == -1).all() and (src[m:] == -1).all()
