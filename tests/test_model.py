@@ -114,6 +114,7 @@ class TestModel:
             from softgroup_tpu.util.rle import rle_decode
             assert rle_decode(i['pred_mask']).shape[0] == len(p2v)
 
+    @pytest.mark.slow
     def test_loss_forward_and_grads(self, batch, net_and_vars):
         net, variables = net_and_vars
 

@@ -35,6 +35,7 @@ def _tiny(n_devices):
         stack_batches, shard_batch
 
 
+@pytest.mark.slow
 class TestMeshStep:
 
     def test_mesh_matches_single_device(self):

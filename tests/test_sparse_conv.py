@@ -177,6 +177,7 @@ class TestConvOracles:
 
 class TestPyramid:
 
+    @pytest.mark.slow
     def test_device_and_host_pyramids_agree(self, rng):
         coords = np.concatenate([
             rng.randint(0, 2, size=(400, 1)),

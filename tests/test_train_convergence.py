@@ -4,11 +4,13 @@ whole gradient path (Pallas/XLA conv VJPs, masked BN, CSR proposal losses)
 is wired correctly."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_overfit_synthetic_scene():
     import optax
 
