@@ -55,6 +55,11 @@ class SceneBatch:
     vox_in: jax.Array | None = None  # (V0, C_in) host-precomputed voxel-mean
     # network input ([colors || coords_float] per with_coords) — saves the
     # device-side segment mean and the point-feature transfer
+    point_perm: jax.Array | None = None  # (P,) int32: original index of
+    # each (voxel-sorted) batch row.  The pipeline sorts points by p2v so
+    # the devoxelize gather is monotone (kernel-eligible); hosts translate
+    # per-point outputs back with out_orig[perm[:n]] = out_sorted[:n]
+    # (tools_impl/test_runner.py).  None = identity (device-built batches).
 
 
 class Capacities(NamedTuple):

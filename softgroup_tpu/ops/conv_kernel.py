@@ -41,24 +41,34 @@ from jax.experimental.pallas import tpu as pltpu
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+_SUBM_CORR_CHUNK = 49152
+_DOWN_CORR_CHUNK = 16384
+
+
 def subm_plan(v_out: int) -> tuple[int, int, int, int]:
     """(block_b, window_w, n_win, corr_cap) for submanifold rulebooks, by
     static output capacity.  Sizes chosen for near-zero overflow on
     realistic scenes: DUAL windows (n_win=2) jump the block-target gaps
     single windows must span; the residue (surface scenes overflow tight
-    subm windows by up to ~33k entries at L0 — walls are density cliffs in
-    the x-major sort order) is re-added exactly by the sparse correction."""
+    subm windows by ~33k entries per 188k-voxel scan — walls are density
+    cliffs in the x-major sort order) is re-added exactly by the sparse
+    correction.  corr_cap SCALES with v_out (overflow is per-scene and a
+    multi-scene batch concatenates scenes): with a fixed cap, a batch-4
+    train step fell past the cap into the full XLA conv at 852k rows —
+    ~240 ms/conv (gathers superlinear at >2M-row tables), 7.8 s/step."""
+    m = max(1, -(-v_out // 196608))
     if v_out >= 65536:
-        return 256, 256, 2, 49152
-    return 128, 192, 2, 49152
+        return 256, 256, 2, _SUBM_CORR_CHUNK * m
+    return 128, 192, 2, _SUBM_CORR_CHUNK * m
 
 
 def down_plan(v_out: int) -> tuple[int, int, int, int]:
     """(block_b, window_w, n_win, corr_cap) for k2s2 down rulebooks: fine
     voxel order is not monotone in coarse order across x-slab boundaries,
     so single windows overflow STRUCTURALLY (spans ~1900 rows at block
-    128); dual 384-wide windows jump the gap."""
-    return 128, 384, 2, 16384
+    128); dual 384-wide windows jump the gap.  corr_cap scales like
+    subm_plan's."""
+    return 128, 384, 2, _DOWN_CORR_CHUNK * max(1, -(-v_out // 98304))
 
 
 def _mm(lhs, rhs):
@@ -582,27 +592,45 @@ def overflow_correction(feats: jax.Array, weight: jax.Array,
 
 def overflow_correction_entries(feats: jax.Array, weight: jax.Array,
                                 ke: jax.Array, ve: jax.Array,
-                                src: jax.Array, v_out: int) -> jax.Array:
+                                src: jax.Array, v_out: int,
+                                chunk: int = _SUBM_CORR_CHUNK) -> jax.Array:
     """Exact (V_out, Cout) correction from compacted dropped-entry triples
     (tap, out_voxel, src_row), -1 = unused slot: gather the input rows,
     apply the per-tap weight via one one-hot block matmul (the scatter-free
-    inverse-conv trick), scatter-add into the output."""
+    inverse-conv trick), scatter-add into the output.
+
+    Caps above ``chunk`` run as a lax.scan over chunk-sized slices so the
+    (chunk, K*Cin) one-hot block matrix stays bounded (~340 MB bf16 at the
+    base chunk) however large the batch-scaled cap grows."""
     k, cin, cout = weight.shape
     cap = ke.shape[0]
-    valid = ve >= 0
     v_in = feats.shape[0]
     padded = jnp.concatenate(
         [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
-    rows = padded[jnp.where(src < 0, v_in, src)]          # (cap, Cin)
     cd = jnp.bfloat16
-    oh = jax.nn.one_hot(jnp.clip(ke, 0, k - 1), k, dtype=cd)
-    aug = (oh[:, :, None] * rows[:, None, :].astype(cd)).reshape(
-        cap, k * cin)
-    contrib = jnp.dot(aug, weight.astype(cd).reshape(k * cin, cout),
-                      preferred_element_type=jnp.float32)
-    contrib = jnp.where(valid[:, None], contrib, 0.0)
+    wflat = weight.astype(cd).reshape(k * cin, cout)
+
+    def apply_chunk(out, ent):
+        ke_c, ve_c, src_c = ent
+        valid = ve_c >= 0
+        rows = padded[jnp.where(src_c < 0, v_in, src_c)]   # (chunk, Cin)
+        oh = jax.nn.one_hot(jnp.clip(ke_c, 0, k - 1), k, dtype=cd)
+        aug = (oh[:, :, None] * rows[:, None, :].astype(cd)).reshape(
+            -1, k * cin)
+        contrib = jnp.dot(aug, wflat, preferred_element_type=jnp.float32)
+        contrib = jnp.where(valid[:, None], contrib, 0.0)
+        return out.at[jnp.where(valid, ve_c, v_out)].add(contrib)
+
     out = jnp.zeros((v_out + 1, cout), jnp.float32)
-    out = out.at[jnp.where(valid, ve, v_out)].add(contrib)
+    if cap <= chunk:
+        out = apply_chunk(out, (ke, ve, src))
+    else:
+        assert cap % chunk == 0, (cap, chunk)
+        nc = cap // chunk
+        ents = (ke.reshape(nc, chunk), ve.reshape(nc, chunk),
+                src.reshape(nc, chunk))
+        out = jax.lax.scan(
+            lambda o, e: (apply_chunk(o, e), None), out, ents)[0]
     return out[:v_out]
 
 
@@ -982,6 +1010,50 @@ def keyed_down_conv_ad(feats, weight, fine_key, coarse_key, coarse_d, **kw):
     return f(feats, weight, fine_key, coarse_key)
 
 
+def dw_overflow_correction(feats: jax.Array, g_out: jax.Array,
+                           ke: jax.Array, ve: jax.Array, src: jax.Array,
+                           k: int,
+                           chunk: int = _SUBM_CORR_CHUNK) -> jax.Array:
+    """Exact (K, Cin, Cout) weight-grad correction for rulebook entries the
+    dw kernel's windows DROP: dW[t] += feats[src_e] (x) g[ve_e] for every
+    compacted dropped entry (tap t, out_voxel ve, src row) — the same
+    one-hot block-matrix trick as the forward correction, transposed:
+    aug (cap, K*Cin) ^T @ g_rows (cap, Cout) is ONE matmul.  Chunked like
+    overflow_correction_entries for batch-scaled caps."""
+    cin = feats.shape[1]
+    cout = g_out.shape[1]
+    cap = ke.shape[0]
+    v_in = feats.shape[0]
+    padded = jnp.concatenate(
+        [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    cd = jnp.bfloat16
+
+    def chunk_dw(acc, ent):
+        ke_c, ve_c, src_c = ent
+        valid = ve_c >= 0
+        rows = padded[jnp.where(src_c < 0, v_in, src_c)]
+        grows = g_out[jnp.clip(ve_c, 0, g_out.shape[0] - 1)]
+        grows = jnp.where(valid[:, None], grows.astype(cd), 0)
+        oh = jax.nn.one_hot(jnp.clip(ke_c, 0, k - 1), k, dtype=cd)
+        aug = (oh[:, :, None] * rows[:, None, :].astype(cd)).reshape(
+            -1, k * cin)
+        return acc + jax.lax.dot_general(
+            aug, grows, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jnp.zeros((k * cin, cout), jnp.float32)
+    if cap <= chunk:
+        acc = chunk_dw(acc, (ke, ve, src))
+    else:
+        assert cap % chunk == 0, (cap, chunk)
+        nc = cap // chunk
+        ents = (ke.reshape(nc, chunk), ve.reshape(nc, chunk),
+                src.reshape(nc, chunk))
+        acc = jax.lax.scan(lambda a, e: (chunk_dw(a, e), None), acc,
+                           ents)[0]
+    return acc.reshape(k, cin, cout)
+
+
 # ---------------------------------------------------------------------------
 # Weight-gradient kernel: dW[k] = sum_v feats[rules[k, v]] (x) g[v]
 # ---------------------------------------------------------------------------
@@ -1066,8 +1138,13 @@ def _dw_kernel(ws_ref, rules_ref, g_ref, feats_ref, out_ref, win, sems, *,
                                              'block_b', 'window_w',
                                              'n_win', 'interpret'))
 def windowed_conv_dw(feats, g_out, rules, group_of_tap, n_groups,
-                     block_b=128, window_w=384, n_win=1, interpret=False):
-    """Weight gradient of windowed_conv wrt the (K, Cin, Cout) weights."""
+                     block_b=128, window_w=384, n_win=1, interpret=False,
+                     local=None, starts=None):
+    """Weight gradient of windowed_conv wrt the (K, Cin, Cout) weights.
+
+    ``local``/``starts``: optional precomputed window geometry (WindowMeta,
+    same (b, w, n_win) — the forward's metadata is reusable because dw
+    shares the forward's windows); computed on device otherwise."""
     v_in, cin_real = feats.shape
     k, v_out = rules.shape
     cout = g_out.shape[1]
@@ -1076,15 +1153,16 @@ def windowed_conv_dw(feats, g_out, rules, group_of_tap, n_groups,
     we = n_win * w
     assert v_out % b == 0 and v_in >= w
     nb = v_out // b
-    gmap = np.asarray(group_of_tap, np.int32)
     feats_p = feats
     cin = cin_real
     if cin % 128:
         pad = 128 - cin % 128
         feats_p = jnp.pad(feats, ((0, 0), (0, pad)))
         cin += pad
-    local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in,
-                                    n_win=n_win)
+    if local is None:
+        gmap = np.asarray(group_of_tap, np.int32)
+        local, starts, _ = window_rules(rules, gmap, n_groups, w, b, v_in,
+                                        n_win=n_win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),

@@ -84,11 +84,14 @@ def _windowed_exact(feats, weight, rules, groups, n_groups,
                                              feats.shape[0], n_win=n_win)
     wstack = _stack_weight(weight, n_groups)
 
+    from .conv_kernel import _DOWN_CORR_CHUNK, _SUBM_CORR_CHUNK
+    chunk = _DOWN_CORR_CHUNK if rules.shape[0] == 8 else _SUBM_CORR_CHUNK
+
     def correction():
         if win is not None:
             return overflow_correction_entries(
                 feats, weight, win.corr_ke, win.corr_ve, win.corr_src,
-                v_out)
+                v_out, chunk=chunk)
         return overflow_correction(feats, weight, rules, local, n_win * w,
                                    corr_cap, v_out)
 
@@ -152,14 +155,23 @@ def _conv_xla(feats, weight, rules, cd):
     return acc.astype(feats.dtype)
 
 
-def _dw(feats, g, rules, groups, n_groups, weight_dtype):
+def _dw(feats, g, rules, groups, n_groups, weight_dtype, win=None):
     """Weight gradient — Pallas kernel when eligible, XLA gather-vjp
     otherwise (CPU).  Both are exact.  Unlike the forward, the dw kernel
     has NO Cout cap: its output is the (n_groups, Cin, tpg*Cout) weight
-    block, so wide channels never blow up VMEM."""
+    block, so wide channels never blow up VMEM.
+
+    ``win`` (WindowMeta): the FORWARD's host-precomputed window geometry —
+    dw uses the same (b, w, n_win) plan per rulebook kind, so the windows,
+    overflow count, and compacted dropped entries are all reusable, and the
+    dw overflow correction (dw_overflow_correction) keeps the kernel path
+    exact at any realistic overflow instead of falling back to the 27x
+    gather XLA backward (on surface scenes L0/L1 always overflow, which
+    made every training step pay the fallback: 7.9 s/step at batch 4)."""
+    from .conv_kernel import down_plan, subm_plan
     from .dispatch import kernels_enabled
-    b, w, n_win = _kernel_bw(rules.shape[1])
     k = len(groups)
+    b, w, n_win, cap = (down_plan if k == 8 else subm_plan)(rules.shape[1])
 
     def xla_dw():
         zeros_w = jnp.zeros((k,) + (feats.shape[1], g.shape[1]),
@@ -171,12 +183,34 @@ def _dw(feats, g, rules, groups, n_groups, weight_dtype):
             and rules.shape[1] % b == 0
             and rules.shape[1] >= _KERNEL_MIN_VOXELS
             and feats.shape[0] >= w):
-        from .conv_kernel import window_overflow, windowed_conv_dw
+        from .conv_kernel import (dw_overflow_correction, window_overflow,
+                                  windowed_conv_dw)
         from .dispatch import kernel_interpret
+        gc = g.astype(feats.dtype)
+        if win is not None:
+            local, starts, n_over = win.local, win.starts, win.n_overflow
+
+            def kernel_path():
+                dw = windowed_conv_dw(feats, gc, rules, groups, n_groups,
+                                      b, w, n_win=n_win,
+                                      interpret=kernel_interpret(),
+                                      local=local, starts=starts)
+                from .conv_kernel import (_DOWN_CORR_CHUNK,
+                                          _SUBM_CORR_CHUNK)
+                chunk = _DOWN_CORR_CHUNK if k == 8 else _SUBM_CORR_CHUNK
+                dw = jax.lax.cond(
+                    n_over == 0,
+                    lambda: dw,
+                    lambda: dw + dw_overflow_correction(
+                        feats, gc, win.corr_ke, win.corr_ve, win.corr_src,
+                        k, chunk=chunk))
+                return dw.astype(weight_dtype)
+
+            return jax.lax.cond(n_over <= cap, kernel_path, xla_dw)
         return jax.lax.cond(
             window_overflow(rules, groups, n_groups, w, b,
                             feats.shape[0], n_win=n_win) == 0,
-            lambda: windowed_conv_dw(feats, g.astype(feats.dtype), rules,
+            lambda: windowed_conv_dw(feats, gc, rules,
                                      groups, n_groups, b, w, n_win=n_win,
                                      interpret=kernel_interpret())
             .astype(weight_dtype),
@@ -218,7 +252,8 @@ def _subm_bwd(res, g):
     # weight-independent (the correction applies whatever weights the call
     # passes — here the flipped transposed ones), so win is reused as-is
     g_feats = _subm_vjp(g.astype(feats.dtype), w_t, rules, win)
-    g_weight = _dw(feats, g, rules, _SUBM_GROUPS, 3, weight.dtype)
+    g_weight = _dw(feats, g, rules, _SUBM_GROUPS, 3, weight.dtype,
+                   win=win)
     return g_feats, g_weight, None, None
 
 
@@ -260,7 +295,8 @@ def _down_bwd(res, g):
     child_tap = jnp.zeros((v_f + 1,), jnp.int32).at[flat_v].set(taps)[:v_f]
     w_t = jnp.swapaxes(weight, 1, 2)
     g_feats = inverse_conv(g.astype(feats.dtype), w_t, parent_idx, child_tap)
-    g_weight = _dw(feats, g, rules, _DOWN_GROUPS, 2, weight.dtype)
+    g_weight = _dw(feats, g, rules, _DOWN_GROUPS, 2, weight.dtype,
+                   win=win)
     return g_feats, g_weight, None, None
 
 

@@ -114,8 +114,57 @@ def voxel_features(point_feats: jax.Array, p2v: jax.Array, capacity: int) -> jax
 def devoxelize(vox_feats: jax.Array, p2v: jax.Array) -> jax.Array:
     """Gather voxel features back to points — `output_feats[input_map]`
     (`softgroup/model/softgroup.py:374`).  Out-of-range p2v (invalid points)
-    clamps to the last row; callers mask those rows."""
-    return vox_feats[jnp.clip(p2v, 0, vox_feats.shape[0] - 1)]
+    clamps to the last row; callers mask those rows.
+
+    The pipeline sorts points by voxel rank (data/padding.py), so p2v is
+    non-decreasing and the gather dispatches to the monotone windowed
+    kernel (a block of 256 points spans <= 256 voxel rows, so w=512 can
+    never drop an entry; the overflow guard covers device-built batches
+    with arbitrary order).  bf16 feats only — the kernel's f32 path would
+    need the bf16x3 split, and production backbone feats are bf16.
+
+    Differentiable: the custom VJP's backward is the gather transpose —
+    one segment-sum of the point cotangents over p2v (identical to what
+    autodiff emitted for the plain-gather formulation)."""
+    v = vox_feats.shape[0]
+    idx = jnp.clip(p2v, 0, v - 1)
+    from .dispatch import kernels_enabled
+    if (kernels_enabled() and vox_feats.dtype == jnp.bfloat16
+            and vox_feats.ndim == 2 and vox_feats.shape[1] <= 128
+            and p2v.shape[0] % 256 == 0 and v >= 512):
+        return _devox_vjp(vox_feats, idx)
+    return vox_feats[idx]
+
+
+@jax.custom_vjp
+def _devox_vjp(vox_feats, idx):
+    from .dispatch import kernel_interpret
+    from .gather_kernel import (monotone_row_gather,
+                                monotone_window_overflow)
+    v = vox_feats.shape[0]
+    n_bad = monotone_window_overflow(idx, 256, 512, v)
+    return jax.lax.cond(
+        n_bad == 0,
+        lambda: monotone_row_gather(
+            vox_feats, idx, block_b=256, window_w=512,
+            interpret=kernel_interpret()).astype(vox_feats.dtype),
+        lambda: vox_feats[idx])
+
+
+def _devox_fwd(vox_feats, idx):
+    # residuals must be jax types: a zero-size prototype carries (V, dtype)
+    proto = jnp.zeros((vox_feats.shape[0], 0), vox_feats.dtype)
+    return _devox_vjp(vox_feats, idx), (idx, proto)
+
+
+def _devox_bwd(res, g):
+    idx, proto = res
+    gv = jax.ops.segment_sum(g.astype(jnp.float32), idx,
+                             num_segments=proto.shape[0])
+    return gv.astype(proto.dtype), None
+
+
+_devox_vjp.defvjp(_devox_fwd, _devox_bwd)
 
 
 def voxelize_np(coords: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

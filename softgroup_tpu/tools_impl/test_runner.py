@@ -96,6 +96,34 @@ class InferenceRunner:
         out = self._fn(caps)(self.variables, batch)
         out = {k: np.asarray(v) for k, v in out.items()}
 
+        # the device batch is in voxel-sorted point order (data/padding.py
+        # sorts so p2v gathers are monotone); translate every per-point
+        # output back to the ORIGINAL scan order here so evaluators,
+        # writers and visualization never see the permutation
+        perm = (np.asarray(batch.point_perm)[:n]
+                if batch.point_perm is not None else None)
+
+        def unperm(a):
+            if perm is None:
+                return a
+            o = np.empty_like(a)
+            o[perm] = a
+            return o
+
+        sem_preds = unperm(out['semantic_preds'][:n])
+        if perm is not None:
+            # get_instances reads point-level fields straight from `out`
+            out['semantic_preds'] = np.concatenate(
+                [sem_preds, out['semantic_preds'][n:]])
+            if 'entry_pt' in out and not \
+                    self.cfg.test_cfg.get('lvl_fusion', False):
+                # proposal entries carry point indices in sorted space
+                # (lvl_fusion entries index voxels — untouched)
+                ev = out.get('entry_valid')
+                pts = perm[np.clip(out['entry_pt'], 0, n - 1)]
+                out['entry_pt'] = np.where(ev, pts, out['entry_pt']) \
+                    if ev is not None else pts
+
         ret = dict(scan_id=scan_id)
         tasks = self.cfg.test_cfg.eval_tasks
         if 'semantic' in tasks or 'panoptic' in tasks:
@@ -105,14 +133,15 @@ class InferenceRunner:
             ret.update(
                 coords_float=data['coords_float'],
                 color_feats=data['feats'],
-                semantic_preds=out['semantic_preds'][:n],
-                offset_preds=out['pt_offsets'][:n],
+                semantic_preds=sem_preds,
+                offset_preds=unperm(out['pt_offsets'][:n]),
                 offset_labels=data['pt_offset_labels'])
         if not self.net.semantic_only and (
                 'instance' in tasks or 'panoptic' in tasks):
             if self.cfg.test_cfg.get('lvl_fusion', False):
                 # masks live on voxels; expand through p2v on the host
-                p2v = np.asarray(batch.pyramid.p2v)[:n]
+                # (unperm'd so the expansion lands in original order)
+                p2v = unperm(np.asarray(batch.pyramid.p2v)[:n])
                 n_vox = int(np.asarray(
                     batch.pyramid.levels[0].vox_valid).sum())
                 pred_instances = get_instances(scan_id, out, n_vox, self.cfg,
@@ -126,7 +155,7 @@ class InferenceRunner:
                     self.cfg.semantic_classes, self.cfg.instance_classes)
             if 'panoptic' in tasks:
                 ret['panoptic_preds'] = panoptic_fusion(
-                    out['semantic_preds'][:n], pred_instances, self.cfg,
+                    sem_preds, pred_instances, self.cfg,
                     self.cfg.semantic_classes, self.cfg.instance_classes)
         return ret
 

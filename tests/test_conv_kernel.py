@@ -514,3 +514,49 @@ class TestWindowMeta:
                                       np.asarray(ref.local))
         np.testing.assert_array_equal(np.asarray(lv0.subm_win.starts),
                                       np.asarray(ref.starts))
+
+    def test_dw_with_meta_and_overflow_matches_xla(self, rng):
+        """Weight grad through the production dispatch with WindowMeta on an
+        OVERFLOWING rulebook == the XLA vjp oracle (round 2: without the dw
+        overflow correction, surface scenes forced the 27x-gather XLA
+        backward every training step)."""
+        from softgroup_tpu.ops import dispatch
+        from softgroup_tpu.ops.conv_kernel import (build_window_meta_np,
+                                                   subm_plan)
+        from softgroup_tpu.ops.sparse_conv import _conv_xla, subm_conv
+        # overflowing but OFFSET-SYMMETRIC rulebook (rules[t][o] = r iff
+        # rules[26-t][r] = o — the contract real subm rulebooks satisfy and
+        # the scatter-free feats-backward relies on)
+        v = 512
+        rules = np.full((27, v), -1, np.int32)
+        rules[13] = np.arange(v)
+        for (t, o, r) in ((0, 0, 3), (1, 1, 250), (2, 2, 500)):
+            rules[t, o] = r
+            rules[26 - t, r] = o
+        cap = v
+        b, w, n_win, ccap = subm_plan(cap)
+        meta = build_window_meta_np(rules, _SUBM_GROUPS, 3, w, b, cap,
+                                    n_win, ccap)
+        assert int(np.asarray(meta.n_overflow)) > 0
+        cin, cout = 8, 8
+        feats = jnp.asarray(rng.randn(cap, cin), jnp.float32)
+        weight = jnp.asarray(rng.randn(27, cin, cout) * 0.1, jnp.float32)
+        rules_j = jnp.asarray(rules)
+        cot = jnp.asarray(rng.randn(cap, cout), jnp.float32)
+
+        ref_gf, ref_gw = jax.grad(
+            lambda f, w: jnp.vdot(_conv_xla(f, w, rules_j, jnp.float32),
+                                  cot), argnums=(0, 1))(feats, weight)
+        dispatch.set_kernels(True)
+        dispatch.set_interpret(True)
+        try:
+            gf, gw = jax.grad(
+                lambda f, w: jnp.vdot(subm_conv(f, w, rules_j, win=meta),
+                                      cot), argnums=(0, 1))(feats, weight)
+        finally:
+            dispatch.set_kernels(None)
+            dispatch.set_interpret(None)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(ref_gw),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ref_gf),
+                                   rtol=0.05, atol=0.05)

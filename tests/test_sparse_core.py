@@ -167,3 +167,34 @@ class TestSegment:
         counts = np.bincount(np.asarray(ids), minlength=nseg)
         expect = 1.0 / counts[np.asarray(ids)]
         np.testing.assert_allclose(np.asarray(g)[:, 0], expect, rtol=1e-5)
+
+
+class TestDevoxKernel:
+    def test_devoxelize_kernel_and_vjp_match_xla(self, rng):
+        """The monotone devoxelize kernel (production dispatch: bf16 feats,
+        sorted p2v) and its custom VJP must match the plain-gather path."""
+        import jax
+        import jax.numpy as jnp
+        from softgroup_tpu.ops import dispatch
+        from softgroup_tpu.ops.voxelize import devoxelize
+        v, p, c = 640, 1024, 16
+        vox = jnp.asarray(rng.randn(v, c), jnp.bfloat16)
+        p2v = jnp.asarray(np.sort(rng.randint(0, v, p)).astype(np.int32))
+        cot = jnp.asarray(rng.randn(p, c), jnp.bfloat16)
+
+        def loss(x):
+            return jnp.vdot(devoxelize(x, p2v).astype(jnp.float32),
+                            cot.astype(jnp.float32))
+
+        ref_out = np.asarray(vox[p2v], np.float32)
+        ref_g = np.asarray(jax.grad(loss)(vox), np.float32)
+        dispatch.set_kernels(True)
+        dispatch.set_interpret(True)
+        try:
+            out = np.asarray(devoxelize(vox, p2v), np.float32)
+            g = np.asarray(jax.grad(loss)(vox), np.float32)
+        finally:
+            dispatch.set_kernels(None)
+            dispatch.set_interpret(None)
+        np.testing.assert_allclose(out, ref_out, rtol=0.02, atol=0.02)
+        np.testing.assert_allclose(g, ref_g, rtol=0.02, atol=0.05)

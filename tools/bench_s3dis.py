@@ -4,13 +4,14 @@ import sys, time
 sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from softgroup_tpu.data.padding import build_scene_batch
-from softgroup_tpu.data.synthetic import collate_scenes, make_scene
+from softgroup_tpu.data.synthetic import collate_scenes, make_room_scene
 from softgroup_tpu.model.softgroup import Capacities, SoftGroupNet
 from softgroup_tpu.util.config import Config
 
 rng = np.random.RandomState(0)
 # one huge room = 4 interleaved parts of 262144 points (batch idx 0..3)
-scenes = [make_scene(rng, n_points=250000, n_instances=10) for _ in range(4)]
+scenes = [make_room_scene(rng, n_points=250000, n_instances=10)
+          for _ in range(4)]
 data = collate_scenes(scenes, scale=50.0)
 caps = Capacities(points=1048576, voxels=(851968, 425984, 131072, 32768, 8192, 4096, 2048),
                   grouping_points=2097152, proposals=256, proposal_entries=1048576,

@@ -32,7 +32,7 @@ def main():
         grouping_points=393216, proposals=256, proposal_entries=262144,
         instances=128, inst_voxels=(65536, 16384), grouping_cells=16384)
     net, variables, cfg, caps, batch = ge._build(
-        channels=32, num_blocks=7, n_points=250000, caps=caps)
+        channels=32, num_blocks=7, n_points=250000, caps=caps, scene='room')
 
     tx = optax.adam(1e-3)
     step = make_train_step(net, cfg, caps, tx, mesh=None)

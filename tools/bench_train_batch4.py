@@ -24,15 +24,15 @@ def main():
     import optax
 
     from softgroup_tpu.data.padding import build_scene_batch
-    from softgroup_tpu.data.synthetic import collate_scenes, make_scene
+    from softgroup_tpu.data.synthetic import collate_scenes, make_room_scene
     from softgroup_tpu.model.softgroup import Capacities, SoftGroupNet
     from softgroup_tpu.parallel.mesh import TrainState, make_train_step
     from softgroup_tpu.util.config import load_config
 
     cfg = load_config('configs/softgroup/softgroup_scannet.yaml')
     c = cfg.tpu.caps
-    # synthetic blob scenes are ~1 point/voxel vs real ScanNet surface
-    # scans' ~2-3, so the voxel caps are sized for the synthetic batch;
+    # surface-sampled room scenes (the realistic occupancy) run ~188k
+    # live voxels per 250k-point scan; caps sized for the 4-scene batch,
     # everything else matches the flagship config
     caps = Capacities(points=c.points,
                       voxels=(851968, 425984, 131072, 65536, 16384, 8192,
@@ -44,7 +44,7 @@ def main():
                       inst_voxels=tuple(c.inst_voxels),
                       grouping_cells=c.grouping_cells)
     rng_np = np.random.RandomState(0)
-    scenes = [make_scene(rng_np, n_points=250000, n_instances=12)
+    scenes = [make_room_scene(rng_np, n_points=250000, n_instances=12)
               for _ in range(4)]
     data = collate_scenes(scenes, scale=50.0)
     batch = build_scene_batch(
@@ -76,6 +76,12 @@ def main():
                            step=jnp.zeros((), jnp.int32))
         state, logs = step(state, batch, rng)
         np.asarray(logs['loss'])
+        import os
+        if os.environ.get('SOFTGROUP_B4_TRACE'):
+            jax.profiler.start_trace(os.environ['SOFTGROUP_B4_TRACE'])
+            state, logs = step(state, batch, rng)
+            np.asarray(logs['loss'])
+            jax.profiler.stop_trace()
         iters = 8
         t0 = time.perf_counter()
         for _ in range(iters):
