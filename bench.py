@@ -30,7 +30,7 @@ import time
 
 import numpy as np
 
-PEAK_BF16_TFLOPS = 394.0   # TPU v5e MXU peak
+PEAK_BF16_TFLOPS = 197.0   # TPU v5e MXU bf16 peak (394 is the int8 peak)
 
 
 def _load_pth(path):

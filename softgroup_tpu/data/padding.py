@@ -142,11 +142,13 @@ def build_scene_batch(coords: np.ndarray, coords_float: np.ndarray,
     point_perm = np.arange(caps.points, dtype=np.int32)
     point_perm[:n] = order
 
-    # pad p2v with the LAST voxel id (not the capacity): keeps the stream
-    # monotone with a tiny tail span, and matches devoxelize's clamp
-    # semantics exactly (pad rows are masked by point_valid everywhere)
-    pad_vox = int(p2v[-1]) if n > 0 else 0
-    p2v = pad_to(p2v, caps.points, pad_vox)
+    # pad p2v with the CAPACITY (out of range): segment_sum/segment_mean
+    # over p2v (voxel_features — vox_cf in test_forward_plus, lvl_fusion)
+    # then drop pad rows instead of diluting the last real voxel's mean
+    # with zeros.  devoxelize clips p2v to cap0-1 before the monotone
+    # kernel dispatch, so the clipped stream stays non-decreasing (pad rows
+    # land on the last row and are masked by point_valid everywhere).
+    p2v = pad_to(p2v, caps.points, cap0)
     point_valid = np.zeros((caps.points,), bool)
     point_valid[:n] = True
     pyramid = pyramid.replace(p2v=jnp.asarray(p2v),

@@ -554,7 +554,8 @@ def _windowed_conv_core(feats, wstack, local, starts, n_groups, block_b,
 
 def overflow_correction(feats: jax.Array, weight: jax.Array,
                         rules: jax.Array, local: jax.Array, w: int,
-                        cap: int, v_out: int) -> jax.Array:
+                        cap: int, v_out: int,
+                        chunk: int = _SUBM_CORR_CHUNK) -> jax.Array:
     """Exact (V_out, Cout) correction for rulebook entries the windowed
     kernel DROPPED (window-local index >= w): compact up to ``cap`` dropped
     (tap, out_voxel) entries with a cumsum, gather their input rows, apply
@@ -587,7 +588,8 @@ def overflow_correction(feats: jax.Array, weight: jax.Array,
     ke = jnp.where(valid, eclip // rules.shape[1], -1)
     ve = jnp.where(valid, eclip % rules.shape[1], -1)
     src = jnp.where(valid, flat_rules[eclip], -1)
-    return overflow_correction_entries(feats, weight, ke, ve, src, v_out)
+    return overflow_correction_entries(feats, weight, ke, ve, src, v_out,
+                                       chunk=chunk)
 
 
 def overflow_correction_entries(feats: jax.Array, weight: jax.Array,

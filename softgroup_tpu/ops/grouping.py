@@ -347,13 +347,14 @@ def ball_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     my_start = run_start_sorted[pos_in_sorted]
 
     # --- candidate list ----------------------------------------------------
-    cands = []
     # (a) own-cell rank window: previous own_window points in sorted order,
     # clipped at the cell run start (densest links in collapsed blobs).
-    for w in range(1, own_window + 1):
-        p = pos_in_sorted - w
-        ok = valid & (p >= my_start)
-        cands.append(jnp.where(ok, order[jnp.clip(p, 0, n - 1)], -1))
+    # Vectorized over the window (a Python loop here compiles one gather
+    # HLO per column — ~200 s of XLA compile at bench widths).
+    wofs = jnp.arange(1, own_window + 1, dtype=jnp.int32)
+    p_own = pos_in_sorted[:, None] - wofs[None, :]           # (N, W)
+    ok_own = valid[:, None] & (p_own >= my_start[:, None])
+    own = jnp.where(ok_own, order[jnp.clip(p_own, 0, n - 1)], -1)
     # (b) neighbour cells: first `neighbors_per_cell` entries of each of the
     # 26 adjacent cells; one batched pair-key sort join resolves all offsets
     # to the run-start position of the neighbouring cell.
@@ -373,14 +374,15 @@ def ball_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     t_lo = jnp.where(first, lo_s, _INT_MAX)
     hit_row = K.lookup(q_hi.reshape(-1), q_lo.reshape(-1), t_hi, t_lo) \
         .reshape(26, n)
-    for j in range(neighbors_per_cell):
-        p = jnp.where(hit_row >= 0, hit_row + j, n)
-        pc = jnp.clip(p, 0, n - 1)
-        ok = ok_axis & (p < n) & (hi_s[pc] == q_hi) & (lo_s[pc] == q_lo)
-        cands.append(jnp.where(ok, order[pc], -1).reshape(-1))
-    own = jnp.stack(cands[:own_window], axis=1)              # (N, W)
-    nb = jnp.stack(cands[own_window:], 0).reshape(-1, n)     # (26*J, N)
-    cand = jnp.concatenate([own, nb.T], axis=1)              # (N, W + 26*J)
+    jofs = jnp.arange(neighbors_per_cell, dtype=jnp.int32)
+    p_nb = jnp.where(hit_row >= 0, hit_row, n)[:, :, None] + jofs  # (26,N,J)
+    pc_nb = jnp.clip(p_nb, 0, n - 1)
+    ok_nb = ok_axis[:, :, None] & (p_nb < n) \
+        & (hi_s[pc_nb] == q_hi[:, :, None]) \
+        & (lo_s[pc_nb] == q_lo[:, :, None])
+    nb = jnp.where(ok_nb, order[pc_nb], -1)                  # (26, N, J)
+    nb = jnp.moveaxis(nb, 1, 0).reshape(n, -1)               # (N, 26*J)
+    cand = jnp.concatenate([own, nb], axis=1)                # (N, W + 26*J)
 
     # exact distance check
     ci = jnp.clip(cand, 0, n - 1)
@@ -403,14 +405,11 @@ def ball_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     dst_sorted = ekey[eorder]
     src_sorted = src_flat[eorder]
     rstart = jnp.searchsorted(dst_sorted, idxs, method='sort').astype(jnp.int32)
-    rev_cols = []
     e = n * c_width
-    for j in range(c_width):
-        p = rstart + j
-        pc = jnp.clip(p, 0, e - 1)
-        hit = (p < e) & (dst_sorted[pc] == idxs)
-        rev_cols.append(jnp.where(hit, src_sorted[pc], -1))
-    rev = jnp.stack(rev_cols, axis=1)
+    p_rev = rstart[:, None] + jnp.arange(c_width, dtype=jnp.int32)  # (N, CW)
+    pc_rev = jnp.clip(p_rev, 0, e - 1)
+    hit_rev = (p_rev < e) & (dst_sorted[pc_rev] == idxs[:, None])
+    rev = jnp.where(hit_rev, src_sorted[pc_rev], -1)
     adj = jnp.concatenate([cand, rev], axis=1)
     adj_c = jnp.clip(adj, 0, n - 1)
     adj_ok = adj >= 0
@@ -420,7 +419,10 @@ def ball_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     def pull_round(lab):
         cl = jnp.where(adj_ok, lab[adj_c], n)
         new = jnp.minimum(lab, cl.min(axis=1))
-        for _ in range(2):  # pointer jumping through representatives
+        # pointer jumping through representatives: each (N,) gather is
+        # ~1/c_width the cost of the adjacency min above and roughly halves
+        # the representative-chain depth, so jump hard to cut round count
+        for _ in range(6):
             new = jnp.minimum(new, new[jnp.clip(new, 0, n - 1)])
         return new
 

@@ -93,7 +93,7 @@ def _windowed_exact(feats, weight, rules, groups, n_groups,
                 feats, weight, win.corr_ke, win.corr_ve, win.corr_src,
                 v_out, chunk=chunk)
         return overflow_correction(feats, weight, rules, local, n_win * w,
-                                   corr_cap, v_out)
+                                   corr_cap, v_out, chunk=chunk)
 
     def kernel_path():
         out = _windowed_conv_core(feats, wstack, local, starts, n_groups,

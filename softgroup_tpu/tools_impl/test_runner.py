@@ -25,7 +25,7 @@ from ..evaluation.postprocess import (get_gt_instances, get_instances,
 from ..model.softgroup import Capacities
 
 
-def test_caps(n_points: int, voxel_counts, base: Capacities) -> Capacities:
+def bucketed_caps(n_points: int, voxel_counts, base: Capacities) -> Capacities:
     """Bucketed per-scene capacities: static per bucket, few buckets total."""
     return Capacities(
         points=round_capacity(n_points),
@@ -78,7 +78,7 @@ class InferenceRunner:
                 nxt = cur.copy()
                 nxt[:, 1:] //= 2
                 cur, _, _ = voxelize_np(nxt)
-        caps = test_caps(len(coords), counts, self.base_caps)
+        caps = bucketed_caps(len(coords), counts, self.base_caps)
         batch = build_scene_batch(
             data['coords'], data['coords_float'], data['feats'],
             data['semantic_labels'], data['instance_labels'],
