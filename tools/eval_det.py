@@ -27,8 +27,18 @@ def box_iou_aabb(a: np.ndarray, b: np.ndarray) -> float:
     return float(inter / union) if union > 0 else 0.0
 
 
-def voc_ap(rec: np.ndarray, prec: np.ndarray) -> float:
-    """Continuous VOC AP (area under interpolated PR curve)."""
+def voc_ap(rec: np.ndarray, prec: np.ndarray,
+           use_07_metric: bool = False) -> float:
+    """VOC AP.  use_07_metric: the VOC-2007 11-point interpolation;
+    default: exact area under the interpolated PR curve (reference
+    `tools/eval_det.py:10-41`)."""
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            sel = rec >= t
+            p = float(np.max(prec[sel])) if np.any(sel) else 0.0
+            ap += p / 11.0
+        return float(ap)
     mrec = np.concatenate(([0.0], rec, [1.0]))
     mpre = np.concatenate(([0.0], prec, [0.0]))
     for i in range(len(mpre) - 1, 0, -1):
@@ -37,8 +47,12 @@ def voc_ap(rec: np.ndarray, prec: np.ndarray) -> float:
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
-def eval_det_cls(pred: dict, gt: dict, ovthresh: float = 0.25):
-    """AP for one class.  pred[scan] = [(bbox, score)], gt[scan] = [bbox]."""
+def eval_det_cls(pred: dict, gt: dict, ovthresh: float = 0.25,
+                 use_07_metric: bool = False, get_iou_func=box_iou_aabb):
+    """AP for one class.  pred[scan] = [(bbox, score)], gt[scan] = [bbox].
+
+    get_iou_func is pluggable like the reference's (`eval_det_cls`,
+    tools/eval_det.py:74-158) — pass a sphere IoU for spherical eval."""
     npos = sum(len(v) for v in gt.values())
     matched = {scan: np.zeros(len(boxes), bool) for scan, boxes in gt.items()}
 
@@ -54,7 +68,7 @@ def eval_det_cls(pred: dict, gt: dict, ovthresh: float = 0.25):
         gts = gt.get(scan, [])
         best, best_j = -1.0, -1
         for j, gbb in enumerate(gts):
-            iou = box_iou_aabb(bb, np.asarray(gbb))
+            iou = get_iou_func(bb, np.asarray(gbb))
             if iou > best:
                 best, best_j = iou, j
         if best > ovthresh and not matched[scan][best_j]:
@@ -68,11 +82,10 @@ def eval_det_cls(pred: dict, gt: dict, ovthresh: float = 0.25):
     cum_tp = np.cumsum(tp)
     rec = cum_tp / npos
     prec = cum_tp / np.maximum(cum_tp + cum_fp, 1e-12)
-    return rec, prec, voc_ap(rec, prec)
+    return rec, prec, voc_ap(rec, prec, use_07_metric)
 
 
-def eval_det(pred_all: dict, gt_all: dict, ovthresh: float = 0.25):
-    """Per-class AP over all scans; returns {classname: ap}."""
+def _group_by_class(pred_all: dict, gt_all: dict):
     pred, gt = {}, {}
     for scan, entries in pred_all.items():
         for cls, bbox, score in entries:
@@ -80,13 +93,37 @@ def eval_det(pred_all: dict, gt_all: dict, ovthresh: float = 0.25):
     for scan, entries in gt_all.items():
         for cls, bbox in entries:
             gt.setdefault(cls, {}).setdefault(scan, []).append(bbox)
+    return pred, gt
+
+
+def eval_det(pred_all: dict, gt_all: dict, ovthresh: float = 0.25,
+             use_07_metric: bool = False, get_iou_func=box_iou_aabb):
+    """Per-class AP over all scans; returns {classname: ap}."""
+    pred, gt = _group_by_class(pred_all, gt_all)
     aps = {}
     for cls in gt:
-        p = pred.get(cls, {})
-        # ensure every gt scan key exists on the pred side
-        _, _, ap = eval_det_cls(p, gt[cls], ovthresh)
+        _, _, ap = eval_det_cls(pred.get(cls, {}), gt[cls], ovthresh,
+                                use_07_metric, get_iou_func)
         aps[cls] = ap
     return aps
+
+
+def eval_sphere(pred_all: dict, gt_all: dict, ovthresh: float = 0.25,
+                use_07_metric: bool = False, get_iou_func=box_iou_aabb):
+    """Full-protocol variant returning (rec, prec, ap) per class, with
+    classes never predicted scoring 0 — reference `eval_sphere`
+    (tools/eval_det.py:213-264; there the only differences from eval_det
+    are the worker pool and the missing-class zeros — class evals here are
+    cheap numpy loops, so no pool is needed)."""
+    pred, gt = _group_by_class(pred_all, gt_all)
+    rec, prec, ap = {}, {}, {}
+    for cls in gt:
+        if cls in pred:
+            rec[cls], prec[cls], ap[cls] = eval_det_cls(
+                pred[cls], gt[cls], ovthresh, use_07_metric, get_iou_func)
+        else:
+            rec[cls], prec[cls], ap[cls] = 0, 0, 0
+    return rec, prec, ap
 
 
 def boxes_from_instances(coords: np.ndarray, instances: list,
@@ -114,6 +151,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('results', help='directory written by tools/test.py --out')
     p.add_argument('--iou', type=float, default=0.25)
+    p.add_argument('--use-07-metric', action='store_true',
+                   help='VOC-2007 11-point AP interpolation')
     args = p.parse_args()
 
     from glob import glob
@@ -149,7 +188,8 @@ def main():
             gts.append((int(gid // 1000),
                         np.concatenate([pts.min(0), pts.max(0)])))
         gt_all[scan] = gts
-    aps = eval_det(pred_all, gt_all, args.iou)
+    _, _, aps = eval_sphere(pred_all, gt_all, args.iou,
+                            use_07_metric=args.use_07_metric)
     for cls, ap in sorted(aps.items()):
         print(f'class {cls}: AP@{args.iou} = {ap:.4f}')
     print(f'mAP@{args.iou} = {np.mean(list(aps.values())):.4f}')

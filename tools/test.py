@@ -88,7 +88,7 @@ def main():
     for k, v in metrics.items():
         logger.info(f'{k}: {v}')
     if args.out:
-        save_results(results, args.out, cfg)
+        save_results(results, args.out, cfg, dataset)
     return metrics
 
 
@@ -145,15 +145,24 @@ def save_gt_instances(root, name, scan_ids, gt_insts, nyu_id=None):
 
 
 def save_panoptic_single(path, panoptic, learning_map_inv, num_classes):
-    """Write kitti-format .label: remap semantics through learning_map_inv,
-    keep instance ids in the high 16 bits."""
+    """Write kitti-format .label: remap semantics back to raw kitti ids,
+    keep instance ids in the high 16 bits (reference tools/test.py:91-113).
+
+    `learning_map_inv` is the YAML-space inverse (keys 1..19: things 1..8,
+    stuff 9..19); our learned space has stuff 0..10, things 11..18
+    (data/kitti.py:38-44 shift), with cls == num_classes packed for ignored
+    points by panoptic_fusion — those write raw id 0 (unlabeled)."""
     cls = panoptic & 0xFFFF
     inst = panoptic >> 16
-    # things back to kitti thing range, stuff to raw ids
-    mapped = np.asarray([learning_map_inv.get(int(c), 0) for c in
-                         np.arange(num_classes + 1)])
-    sem = mapped[np.minimum(cls, num_classes)]
-    out = (inst << 16) | sem
+    table = np.zeros(num_classes + 1, np.uint32)
+    for yaml_k, raw in learning_map_inv.items():
+        if yaml_k == 0:
+            continue
+        ours = yaml_k + 10 if yaml_k < 9 else yaml_k - 9
+        table[ours] = raw
+    table[num_classes] = 0
+    sem = table[np.minimum(cls, num_classes)]
+    out = (inst << np.uint32(16)) | sem
     out.astype(np.uint32).tofile(path)
 
 
@@ -167,7 +176,7 @@ def save_panoptic(root, name, scan_ids, panoptics, learning_map_inv,
         save_panoptic_single(path, pan, learning_map_inv, num_classes)
 
 
-def save_results(results, out, cfg):
+def save_results(results, out, cfg, dataset=None):
     scan_ids = [r['scan_id'] for r in results]
     tasks = cfg.model.test_cfg.eval_tasks
     if 'semantic' in tasks:
@@ -189,6 +198,16 @@ def save_results(results, out, cfg):
                             [r['pred_instances'] for r in results], nyu_id)
         save_gt_instances(out, 'gt_instance', scan_ids,
                           [r['gt_instances'] for r in results], nyu_id)
+    if 'panoptic' in tasks and results and 'panoptic_preds' in results[0]:
+        # reference writes kitti .label files whenever panoptic is evaluated
+        # (tools/test.py:199-204); learning_map_inv comes from the dataset's
+        # semantic-kitti.yaml
+        lmi = getattr(dataset, 'learning_map_inv', None)
+        assert lmi is not None, \
+            'panoptic writer needs a dataset with learning_map_inv (kitti)'
+        save_panoptic(out, 'panoptic', scan_ids,
+                      [r['panoptic_preds'] for r in results], lmi,
+                      cfg.model.semantic_classes)
 
 
 if __name__ == '__main__':
