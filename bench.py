@@ -119,18 +119,37 @@ def main():
     np.asarray(outs[-1]['n_proposals'])
     dt = (time.perf_counter() - t0) / iters * 1000.0
 
+    # SoftGroup++ lvl_fusion: grouping + refinement on the level-0 voxel
+    # set (reference softgroup.py:309-312 — "++ is faster at equal AP",
+    # README.md:50); second metric riding in the same JSON line.  Entry
+    # caps follow the voxel count (~188k live voxels per 250k-pt room) —
+    # the entry pipeline costs by CAP, not live rows.
+    caps_pp = caps._replace(grouping_points=294912,
+                            proposal_entries=196608)
+    fn_pp = jax.jit(lambda v, b: net.apply(v, b, cfg, caps_pp,
+                                           method=net.test_forward_plus))
+    out = fn_pp(variables, batch)
+    np.asarray(out['n_proposals'])
+    t0 = time.perf_counter()
+    outs = [fn_pp(variables, batch) for _ in range(iters)]
+    np.asarray(outs[-1]['n_proposals'])
+    dt_pp = (time.perf_counter() - t0) / iters * 1000.0
+
     flops = backbone_flops(batch.pyramid, channels=32, num_blocks=7)
     achieved = flops / (dt / 1000.0) / 1e12
     print(f'[bench] scene={source} useful_backbone_flops={flops / 1e9:.1f}G '
           f'achieved={achieved:.2f} TFLOP/s '
           f'mfu={achieved / PEAK_BF16_TFLOPS * 100:.2f}% '
           f'(bf16 peak {PEAK_BF16_TFLOPS} TFLOP/s)', file=sys.stderr)
+    print(f'[bench] softgroup++ lvl_fusion: {dt_pp:.2f} ms/scan '
+          f'(vanilla {dt:.2f})', file=sys.stderr)
 
     baseline = 288.0
     print(json.dumps(dict(
         metric='scannet_e2e_inference_latency',
         value=round(dt, 2), unit='ms/scan',
-        vs_baseline=round(baseline / dt, 3))))
+        vs_baseline=round(baseline / dt, 3),
+        lvl_fusion_ms=round(dt_pp, 2))))
 
 
 if __name__ == '__main__':

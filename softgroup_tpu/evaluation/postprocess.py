@@ -95,10 +95,15 @@ def get_gt_instances(semantic_labels: np.ndarray, instance_labels: np.ndarray,
 
 def panoptic_fusion(semantic_preds: np.ndarray, instance_preds: list[dict],
                     cfg, semantic_classes: int, instance_classes: int,
-                    thing_start: int = 11) -> np.ndarray:
+                    thing_start: int | None = None) -> np.ndarray:
     """Paste instances over semantic predictions by descending score, skip
     heavily-overlapped ones, pack (cls & 0xFFFF) | (id << 16)
-    (softgroup.py:606-639)."""
+    (softgroup.py:606-639).
+
+    thing_start defaults to semantic_classes - instance_classes (stuff
+    classes occupy the low ids): 19 - 8 = 11 for SemanticKITTI."""
+    if thing_start is None:
+        thing_start = semantic_classes - instance_classes
     cls_offset = semantic_classes - instance_classes - 1
     pan_cls = semantic_preds.astype(np.uint32).copy()
     pan_ids = np.zeros_like(pan_cls)

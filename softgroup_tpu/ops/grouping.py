@@ -414,8 +414,13 @@ def ball_cluster(shifted: jax.Array, group: jax.Array, valid: jax.Array,
     eorder = jnp.argsort(ekey, stable=True)  # ties keep ascending src
     dst_sorted = ekey[eorder]
     src_sorted = src_flat[eorder]
-    rstart = jnp.searchsorted(dst_sorted, idxs, method='sort').astype(jnp.int32)
     e = n * c_width
+    # first sorted position per destination via ONE scatter-min (the
+    # previous searchsorted(method='sort') re-sorted all n*c_width edge
+    # keys a second time — the single biggest cost of the reverse build at
+    # scene scale)
+    rstart = jnp.full((n + 1,), e, jnp.int32).at[dst_sorted].min(
+        jax.lax.iota(jnp.int32, e))[:n]
     p_rev = rstart[:, None] + jnp.arange(c_width, dtype=jnp.int32)  # (N, CW)
     pc_rev = jnp.clip(p_rev, 0, e - 1)
     hit_rev = (p_rev < e) & (dst_sorted[pc_rev] == idxs[:, None])

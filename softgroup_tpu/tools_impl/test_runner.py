@@ -25,14 +25,22 @@ from ..evaluation.postprocess import (get_gt_instances, get_instances,
 from ..model.softgroup import Capacities
 
 
-def bucketed_caps(n_points: int, voxel_counts, base: Capacities) -> Capacities:
-    """Bucketed per-scene capacities: static per bucket, few buckets total."""
+def bucketed_caps(n_points: int, voxel_counts, base: Capacities,
+                  lvl_fusion: bool = False) -> Capacities:
+    """Bucketed per-scene capacities: static per bucket, few buckets total.
+
+    lvl_fusion: grouping/refinement run on the level-0 VOXEL set
+    (`test_forward_plus`), so the entry-scale caps follow the voxel count —
+    surface scans dedupe to ~75% of their points, and leaving the caps at
+    point scale erases the ++ path's row advantage (the entry pipeline's
+    sorts/gathers cost by CAP, not live rows)."""
+    rows = voxel_counts[0] if lvl_fusion else n_points
     return Capacities(
         points=round_capacity(n_points),
         voxels=tuple(round_capacity(v, minimum=256) for v in voxel_counts),
-        grouping_points=round_capacity(2 * n_points, minimum=8192),
+        grouping_points=round_capacity(2 * rows, minimum=8192),
         proposals=base.proposals,
-        proposal_entries=min(round_capacity(6 * n_points, minimum=8192),
+        proposal_entries=min(round_capacity(6 * rows, minimum=8192),
                              base.proposal_entries),
         instances=base.instances,
         inst_voxels=base.inst_voxels,
@@ -78,7 +86,9 @@ class InferenceRunner:
                 nxt = cur.copy()
                 nxt[:, 1:] //= 2
                 cur, _, _ = voxelize_np(nxt)
-        caps = bucketed_caps(len(coords), counts, self.base_caps)
+        caps = bucketed_caps(len(coords), counts, self.base_caps,
+                             lvl_fusion=bool(
+                                 self.cfg.test_cfg.get('lvl_fusion', False)))
         batch = build_scene_batch(
             data['coords'], data['coords_float'], data['feats'],
             data['semantic_labels'], data['instance_labels'],
@@ -180,9 +190,14 @@ def run_eval(net, variables, cfg, base_caps, num_levels, logger=None,
 def summarize(results: list, cfg, dataset, logger=None) -> dict:
     out = {}
     tasks = cfg.model.test_cfg.eval_tasks
+    # eval-side gt size gate: top-level cfg.eval_min_npoint (kitti 50,
+    # stpls3d 10, absent elsewhere -> protocol default), NOT
+    # test_cfg.min_npoint which gates instance EXTRACTION
+    # (reference tools/test.py:172-178)
+    from ..util.config import getattr_or
+    eval_min_npoint = getattr_or(cfg, 'eval_min_npoint', None)
     if 'instance' in tasks and results and 'pred_instances' in results[0]:
-        ev = ScanNetEval(dataset.CLASSES,
-                         min_npoint=cfg.model.test_cfg.min_npoint)
+        ev = ScanNetEval(dataset.CLASSES, min_npoint=eval_min_npoint)
         avgs = ev.evaluate([r['pred_instances'] for r in results],
                            [r['gt_instances'] for r in results])
         if logger:
@@ -205,7 +220,8 @@ def summarize(results: list, cfg, dataset, logger=None) -> dict:
         from ..evaluation.panoptic_eval import PanopticEval
         thing = getattr(dataset, 'THING', None)
         stuff = getattr(dataset, 'STUFF', None)
-        ev = PanopticEval(thing, stuff, min_points=50)
+        ev = PanopticEval(thing, stuff,
+                          min_points=eval_min_npoint or 50)
         pq = ev.evaluate(
             [r['panoptic_preds'] for r in results],
             [r['semantic_labels'] for r in results],

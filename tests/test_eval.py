@@ -172,3 +172,80 @@ class TestGtEncoding:
         assert gt[3] == 2 * 1000 + 2
         assert gt[4] == 18 * 1000 + 3
         assert gt[0] == 0 and gt[1] == 0 and gt[5] == 0
+
+
+class TestInstanceEvalUtil:
+    """I/O helpers + Instance record (`instance_eval_util.py:1-154`)."""
+
+    def test_transform_points(self):
+        from softgroup_tpu.evaluation import transform_points
+        pts = np.array([[1., 0, 0], [0, 2, 0]], np.float32)
+        m = np.eye(4)
+        m[:3, 3] = [1, 2, 3]
+        out = transform_points(m, pts)
+        np.testing.assert_allclose(out, pts + [1, 2, 3], atol=1e-6)
+
+    def test_export_load_ids_roundtrip(self, tmp_path):
+        from softgroup_tpu.evaluation import export_ids, load_ids
+        ids = np.array([2001, 0, 3017, 2001], np.int64)
+        p = tmp_path / 'ids.txt'
+        export_ids(str(p), ids)
+        np.testing.assert_array_equal(load_ids(str(p)), ids)
+
+    def test_read_mesh_vertices_ascii_and_binary(self, tmp_path):
+        import struct
+        from softgroup_tpu.evaluation import read_mesh_vertices
+        xyz = np.array([[0.5, 1.5, -2.0], [3.25, 0.0, 7.0]], np.float32)
+        # ascii (the layout tools/visualization.py writes)
+        pa = tmp_path / 'a.ply'
+        with open(pa, 'w') as f:
+            f.write('ply\nformat ascii 1.0\n'
+                    f'element vertex {len(xyz)}\n'
+                    'property float x\nproperty float y\nproperty float z\n'
+                    'property uchar red\nproperty uchar green\n'
+                    'property uchar blue\nend_header\n')
+            for p in xyz:
+                f.write(f'{p[0]} {p[1]} {p[2]} 10 20 30\n')
+        np.testing.assert_allclose(read_mesh_vertices(str(pa)), xyz,
+                                   atol=1e-6)
+        # binary_little_endian with mixed property types
+        pb = tmp_path / 'b.ply'
+        with open(pb, 'wb') as f:
+            f.write(b'ply\nformat binary_little_endian 1.0\n'
+                    b'element vertex 2\n'
+                    b'property float x\nproperty float y\n'
+                    b'property float z\nproperty uchar red\nend_header\n')
+            for p in xyz:
+                f.write(struct.pack('<fffB', *p, 7))
+        np.testing.assert_allclose(read_mesh_vertices(str(pb)), xyz,
+                                   atol=1e-6)
+
+    def test_instance_record_and_get_instances(self):
+        from softgroup_tpu.evaluation.instance_eval_util import (
+            Instance, get_instances)
+        ids = np.array([2001, 2001, 2001, 3001, 0, 0], np.int64)
+        inst = Instance(ids, 2001)
+        assert inst.label_id == 2 and inst.vert_count == 3
+        d = inst.to_dict()
+        assert d['instance_id'] == 2001 and d['med_dist'] == -1
+        out = get_instances(ids, [2, 3], ['chair', 'table'],
+                            {2: 'chair', 3: 'table'})
+        assert len(out['chair']) == 1 and out['chair'][0]['vert_count'] == 3
+        assert len(out['table']) == 1 and out['table'][0]['vert_count'] == 1
+
+    def test_export_and_read_prediction_files(self, tmp_path):
+        from softgroup_tpu.evaluation import (
+            export_instance_ids_for_eval, load_ids,
+            read_instance_prediction_file)
+        label_ids = np.array([3, 3, 5, 5, 0], np.int64)
+        instance_ids = np.array([3001, 3001, 5002, 5002, 0], np.int64)
+        master = tmp_path / 'scene0000_00.txt'
+        export_instance_ids_for_eval(str(master), label_ids, instance_ids)
+        info = read_instance_prediction_file(str(master), str(tmp_path))
+        assert len(info) == 2
+        for mask_file, meta in info.items():
+            mask = load_ids(mask_file)
+            assert mask.sum() == 2
+            assert meta['conf'] == 1.0
+        labels = sorted(m['label_id'] for m in info.values())
+        assert labels == [3, 5]

@@ -1,9 +1,44 @@
-"""ball_cluster vs. an exact numpy connected-components oracle."""
+"""ball_cluster vs. an exact numpy connected-components oracle.
 
+Shape discipline: every case is padded to one canonical size (PAD = 256)
+and dispatched through a cached jitted wrapper with the radius as a traced
+argument, so the whole file compiles each clustering variant ONCE (the
+suite previously paid a fresh eager trace + compile per test — ~185 s of
+the fast suite's wall-clock on the 1-core CI host)."""
+
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from softgroup_tpu.ops.grouping import ball_cluster
+
+PAD = 256
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_ball(neighbors_per_cell, own_window):
+    fn = functools.partial(ball_cluster,
+                           neighbors_per_cell=neighbors_per_cell,
+                           own_window=own_window)
+    return jax.jit(lambda p, g, v, r: fn(p, g, v, r))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_cell(pair_keys, cell_scale, m_cap):
+    from softgroup_tpu.ops.grouping import cell_cluster
+    return jax.jit(lambda p, g, v, r: cell_cluster(
+        p, g, v, r, cell_scale=cell_scale, m_cap=m_cap,
+        pair_keys=pair_keys))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_csr(pair_keys, cell_scale, m_cap, n_thr):
+    from softgroup_tpu.ops.grouping import cell_cluster_csr
+    return jax.jit(lambda p, g, v, pay, thr, r: cell_cluster_csr(
+        p, g, v, pay, thr, r, cell_scale=cell_scale, m_cap=m_cap,
+        pair_keys=pair_keys))
 
 
 def cc_oracle(pts, batch, radius):
@@ -35,16 +70,17 @@ def canon(labels):
     return {frozenset(v) for v in out.values()}
 
 
-def run_case(pts, batch, radius, pad_to=None, **kw):
+def run_case(pts, batch, radius, pad_to=PAD, neighbors_per_cell=4,
+             own_window=4):
     n = len(pts)
-    pad_to = pad_to or n
     p = np.zeros((pad_to, 3), np.float32)
     p[:n] = pts
     b = np.zeros((pad_to,), np.int32)
     b[:n] = batch
     valid = np.arange(pad_to) < n
-    labels = np.asarray(ball_cluster(jnp.asarray(p), jnp.asarray(b),
-                                     jnp.asarray(valid), radius, **kw))
+    fn = _jitted_ball(neighbors_per_cell, own_window)
+    labels = np.asarray(fn(jnp.asarray(p), jnp.asarray(b),
+                           jnp.asarray(valid), jnp.float32(radius)))
     assert (labels[n:] == -1).all()
     return labels[:n]
 
@@ -54,7 +90,7 @@ class TestBallCluster:
     def test_uniform_random_matches_oracle(self, rng):
         pts = rng.rand(80, 3).astype(np.float32) * 0.6
         batch = np.zeros(80, np.int64)
-        got = run_case(pts, batch, 0.08, pad_to=96,
+        got = run_case(pts, batch, 0.08,
                        neighbors_per_cell=8, own_window=8)
         expect = cc_oracle(pts, batch, 0.08)
         assert canon(got) == canon(expect)
@@ -91,9 +127,10 @@ class TestBallCluster:
         assert len(canon(got)) == 1
 
     def test_all_invalid(self):
-        labels = np.asarray(ball_cluster(
-            jnp.zeros((16, 3)), jnp.zeros((16,), jnp.int32),
-            jnp.zeros((16,), bool), 0.04))
+        fn = _jitted_ball(4, 4)
+        labels = np.asarray(fn(
+            jnp.zeros((PAD, 3)), jnp.zeros((PAD,), jnp.int32),
+            jnp.zeros((PAD,), bool), jnp.float32(0.04)))
         assert (labels == -1).all()
 
 
@@ -101,13 +138,17 @@ class TestCellCluster:
     """cell_cluster (production path) — SoftGroup++-style centroid grouping;
     exact on well-separated blobs."""
 
-    def run(self, pts, batch, radius, **kw):
-        import jax.numpy as jnp
-        from softgroup_tpu.ops.grouping import cell_cluster
+    def run(self, pts, batch, radius, pair_keys=True, cell_scale=0.5):
         n = len(pts)
-        labels, _, _, _ = cell_cluster(jnp.asarray(pts), jnp.asarray(batch),
-                                 jnp.ones(n, bool), radius, **kw)
-        return np.asarray(labels)
+        p = np.zeros((PAD, 3), np.float32)
+        p[:n] = pts
+        b = np.zeros((PAD,), np.int32)
+        b[:n] = batch
+        valid = np.arange(PAD) < n
+        fn = _jitted_cell(pair_keys, cell_scale, PAD)
+        labels, _, _, _ = fn(jnp.asarray(p), jnp.asarray(b),
+                             jnp.asarray(valid), jnp.float32(radius))
+        return np.asarray(labels)[:n]
 
     def test_blobs_separate_and_merge(self, rng):
         centers = np.array([[0, 0, 0], [1.0, 0, 0], [0, 1.0, 0]])
@@ -151,25 +192,35 @@ class TestCellClusterCSR:
     """cell_cluster_csr (sorted-space fast path) must produce the same
     thresholded partition as cell_cluster + entry-level size gating."""
 
-    def both(self, pts, group, valid, payload, thr_cls, radius, **kw):
-        from softgroup_tpu.ops.grouping import cell_cluster, cell_cluster_csr
+    def both(self, pts, group, valid, payload, thr_cls, radius):
         n = len(pts)
-        pts_j, g_j = jnp.asarray(pts), jnp.asarray(group)
-        v_j = jnp.asarray(valid)
+        m = PAD
+        pp = np.zeros((PAD, 3), np.float32)
+        pp[:n] = pts
+        gg = np.zeros((PAD,), np.int32)
+        gg[:n] = group
+        vv = np.zeros((PAD,), bool)
+        vv[:n] = valid
+        # pad payloads get unique ids >= n so they can never collide with a
+        # real entry when tests scatter labels back by payload
+        pay = np.arange(PAD, dtype=np.int32)
+        pay[:n] = payload
+        pts_j, g_j = jnp.asarray(pp), jnp.asarray(gg)
+        v_j = jnp.asarray(vv)
         # legacy path + explicit per-entry threshold
-        labels, _, clab, cnt = cell_cluster(pts_j, g_j, v_j, radius, **kw)
-        m = kw.get('m_cap') or n
+        labels, _, clab, cnt = _jitted_cell(True, 0.5, m)(
+            pts_j, g_j, v_j, jnp.float32(radius))
         sizes = np.zeros(m + 1, np.float32)
         np.add.at(sizes, np.clip(np.asarray(clab), 0, m), np.asarray(cnt))
         labels = np.asarray(labels)
         size_of = sizes[np.clip(labels, 0, m - 1)]
-        thr = thr_cls[np.asarray(group) % len(thr_cls)]
-        keep = valid & (labels >= 0) & (size_of >= thr)
-        legacy = np.where(keep, labels, -1)
+        thr = thr_cls[np.asarray(gg) % len(thr_cls)]
+        keep = vv & (labels >= 0) & (size_of >= thr)
+        legacy = np.where(keep, labels, -1)[:n]
         # fast path
-        ent_label, payload_s = cell_cluster_csr(
-            pts_j, g_j, v_j, jnp.asarray(payload), jnp.asarray(thr_cls),
-            radius, **kw)
+        ent_label, payload_s = _jitted_csr(True, 0.5, m, len(thr_cls))(
+            pts_j, g_j, v_j, jnp.asarray(pay), jnp.asarray(thr_cls),
+            jnp.float32(radius))
         return legacy, np.asarray(ent_label), np.asarray(payload_s)
 
     def test_matches_legacy_with_threshold(self, rng):
@@ -190,8 +241,9 @@ class TestCellClusterCSR:
         legacy, ent_label, payload_s = self.both(
             pts, group, valid, payload, thr_cls, 0.05)
         # compare as (payload -> label) maps: fast path is in sorted order
-        fast = np.full(n, -1, np.int64)
+        fast = np.full(PAD, -1, np.int64)
         fast[payload_s] = ent_label
+        fast = fast[:n]
         # same kept-entry sets per cluster
         assert canon(fast) == canon(legacy)
         # last blob (class 0, size 3 < thr 10) must be dropped entirely
@@ -206,8 +258,9 @@ class TestCellClusterCSR:
         legacy, ent_label, payload_s = self.both(
             pts, group, valid, payload, np.array([1.0], np.float32), 0.05)
         # invalid entries -> -1, valid entries form a prefix
-        fast = np.full(64, -1, np.int64)
+        fast = np.full(PAD, -1, np.int64)
         fast[payload_s] = ent_label
+        fast = fast[:64]
         assert (fast[32:] == -1).all()
         assert (ent_label[:32] >= 0).all() and (ent_label[32:] == -1).all()
         assert canon(fast) == canon(legacy)

@@ -60,8 +60,11 @@ def net_and_vars(batch):
     net = SoftGroupNet(channels=CFG.channels, num_blocks=CFG.num_blocks,
                        semantic_classes=CFG.semantic_classes,
                        instance_classes=CFG.instance_classes)
-    variables = net.init(jax.random.PRNGKey(0), batch, CFG, CAPS,
-                         method=net.test_forward)
+    # jitted init: one compiled program instead of an eager op-by-op trace
+    # of the whole pipeline (~80 s of the fast suite on the 1-core host)
+    variables = jax.jit(lambda key, b: net.init(
+        key, b, CFG, CAPS, method=net.test_forward))(
+            jax.random.PRNGKey(0), batch)
     return net, variables
 
 

@@ -255,8 +255,9 @@ class TestActivationParity:
         net = SoftGroupNet(channels=CH, num_blocks=NB, semantic_classes=SEM,
                            instance_classes=4, semantic_only=True,
                            bf16=False)
-        variables = net.init(jax.random.PRNGKey(0), batch, CFG, CAPS,
-                             method=net.test_forward)
+        variables = jax.jit(lambda key, b: net.init(
+            key, b, CFG, CAPS, method=net.test_forward))(
+                jax.random.PRNGKey(0), batch)
         return rng, sd, batch, net, variables, coords, colors, coords_float
 
     def test_import_covers_every_leaf(self, setup):
@@ -306,8 +307,12 @@ class TestActivationParity:
         net = SoftGroupNet(channels=CH, num_blocks=NB, semantic_classes=SEM,
                            instance_classes=4, semantic_only=False,
                            bf16=False)
-        variables = net.init(jax.random.PRNGKey(0), batch, cfg, CAPS,
-                             method=net.test_forward)
+        # eval_shape: the test only checks KEY TRANSLATION coverage, which
+        # needs leaf shapes/dtypes, not values — skips the full-pipeline
+        # compile (~30 s on the CI host)
+        variables = jax.eval_shape(lambda key, b: net.init(
+            key, b, cfg, CAPS, method=net.test_forward),
+            jax.random.PRNGKey(0), batch)
         msgs = []
 
         class Rec:
@@ -319,6 +324,131 @@ class TestActivationParity:
         assert not bad, bad
         n_leaves = len(jax.tree_util.tree_leaves(variables))
         assert any(f'loaded {n_leaves}/{n_leaves}' in m for m in msgs), msgs
+
+
+class TestRefinementParity:
+    """Full-pipeline refinement-stage activations vs the torch dense oracle
+    (VERDICT r03 missing #3): clusters_voxelization + tiny U-Net +
+    cls/mask/iou heads with reference-format imported weights.
+
+    Construction: two proposals whose points fill a dense spatial_shape^3
+    grid one-to-one after the reference cluster scaling
+    (`clusters_voxelization`, softgroup.py:655-709, no rand_quantize at
+    test time) — on that dense grid the tiny sparse U-Net equals dense
+    torch convs, the per-voxel mask head equals a flat MLP, and
+    `global_pool` (softgroup.py:519-521: mean over the cluster's VOXEL
+    features) equals a dense mean, so torch is an exact f32 oracle for the
+    whole refinement stage."""
+
+    D2 = 8          # instance_voxel_cfg.spatial_shape
+    NPROP = 2
+    PMAX = 4
+
+    @pytest.fixture(scope='class')
+    def refine(self):
+        from softgroup_tpu.model.softgroup import (Proposals,
+                                                   clusters_voxelization)
+        rng = np.random.RandomState(11)
+        d = self.D2
+        g = np.stack(np.meshgrid(np.arange(d), np.arange(d), np.arange(d),
+                                 indexing='ij'), axis=-1).reshape(-1, 3)
+        npts = len(g) * self.NPROP
+        # intra-cell jitter keeps every scaled coordinate strictly inside
+        # its cell: the (0,0,0) anchor point carries the strictly smallest
+        # intra offset (0.25) so the per-axis cluster minimum is the anchor
+        # on every axis, and every other point's scaled coordinate lands in
+        # g + [0.2, 0.3] — never on a floor() boundary
+        coords, feats = [], []
+        for p in range(self.NPROP):
+            intra = 0.5 + 0.1 * (rng.rand(len(g), 3) - 0.5)
+            intra[0] = 0.25   # g[0] == (0, 0, 0)
+            off = rng.rand(3) * 3.0
+            coords.append((g + intra) / 10.0 + off)
+        coords_float = np.concatenate(coords).astype(np.float32)
+        feats = rng.randn(npts, CH).astype(np.float32)
+
+        entry_pt = np.arange(npts, dtype=np.int32)
+        entry_seg = np.repeat(np.arange(self.NPROP), len(g)).astype(np.int32)
+        props = Proposals(
+            entry_pt=jnp.asarray(entry_pt),
+            entry_seg=jnp.asarray(entry_seg),
+            entry_valid=jnp.ones(npts, bool),
+            n_proposals=jnp.int32(self.NPROP),
+            prop_valid=jnp.asarray(np.arange(self.PMAX) < self.NPROP))
+        caps = Capacities(points=npts, voxels=(npts,),
+                          grouping_points=npts, proposals=self.PMAX,
+                          proposal_entries=npts, instances=4,
+                          inst_voxels=(2048, 512))
+        vox_feats, levels, entry_p2v = clusters_voxelization(
+            props, jnp.asarray(feats), jnp.asarray(coords_float),
+            scale=10.0, spatial_shape=d, caps=caps)
+
+        sd = make_ref_state_dict(np.random.RandomState(12), IN_CH, CH, NB,
+                                 SEM, inst_classes=4)
+        net = SoftGroupNet(channels=CH, num_blocks=NB, semantic_classes=SEM,
+                           instance_classes=4, semantic_only=False,
+                           bf16=False)
+        variables = jax.jit(lambda key: net.init(
+            key, vox_feats, levels, entry_p2v,
+            props.entry_seg, props.entry_valid, self.PMAX, False,
+            method=net.instance_head))(jax.random.PRNGKey(0))
+        imported = import_reference_weights(variables, sd)
+        cls_s, iou_s, mask_s = net.apply(
+            imported, vox_feats, levels, entry_p2v, props.entry_seg,
+            props.entry_valid, self.PMAX, False, method=net.instance_head)
+        return (sd, g, feats, props, levels, entry_p2v,
+                np.asarray(cls_s), np.asarray(iou_s), np.asarray(mask_s))
+
+    def test_cluster_grid_is_reference_formula(self, refine):
+        """Every entry must land in its own voxel at the grid cell the
+        reference scaling assigns (one-to-one by construction)."""
+        _, g, _, props, levels, entry_p2v, *_ = refine
+        lv0 = levels[0]
+        vox_coords = np.asarray(lv0.vox_coords)
+        vox_valid = np.asarray(lv0.vox_valid)
+        d = self.D2
+        assert int(vox_valid.sum()) == self.NPROP * d ** 3
+        p2v = np.asarray(entry_p2v)
+        seg = np.asarray(props.entry_seg)
+        got = vox_coords[p2v]
+        expect = np.concatenate([g] * self.NPROP)
+        assert np.array_equal(got[:, 0], seg)
+        assert np.array_equal(got[:, 1:], expect)
+        # bijection: no two entries share a voxel
+        assert len(np.unique(p2v)) == len(p2v)
+
+    def test_refinement_matches_torch_oracle(self, refine):
+        (sd, g, feats, props, levels, entry_p2v, cls_s, iou_s,
+         mask_s) = refine
+        d = self.D2
+        oracle = TorchDenseOracle(sd)
+        dense = np.zeros((self.NPROP, CH, d, d, d), np.float32)
+        seg = np.asarray(props.entry_seg)
+        for e in range(len(seg)):
+            x, y, z = g[e % len(g)]
+            dense[seg[e], :, x, y, z] = feats[e]
+        with torch.no_grad():
+            t = torch.from_numpy(dense)
+            t = oracle.ublock(t, 'tiny_unet.', [CH, 2 * CH])
+            t = F.relu(oracle.bn(t, 'tiny_unet_outputlayer.0'))
+            flat = t.reshape(self.NPROP, CH, -1).permute(0, 2, 1) \
+                .reshape(-1, CH)                       # (P*d^3, CH) C-order
+            mask_t = oracle.mlp(flat, 'mask_linear', normed=False)
+            pooled = t.reshape(self.NPROP, CH, -1).mean(dim=2)
+            cls_t = (pooled @ oracle.sd['cls_linear.weight'].T
+                     + oracle.sd['cls_linear.bias'])
+            iou_t = (pooled @ oracle.sd['iou_score_linear.weight'].T
+                     + oracle.sd['iou_score_linear.bias'])
+        np.testing.assert_allclose(cls_s[:self.NPROP], cls_t.numpy(),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(iou_s[:self.NPROP], iou_t.numpy(),
+                                   rtol=2e-3, atol=2e-4)
+        # per-entry mask scores: entry e sits at grid cell g[e % d^3] of
+        # proposal seg[e] — oracle flat index = seg*d^3 + C-order(g)
+        lin = (g[:, 0] * d + g[:, 1]) * d + g[:, 2]
+        idx = seg * d ** 3 + np.concatenate([lin] * self.NPROP)
+        np.testing.assert_allclose(mask_s, mask_t.numpy()[idx],
+                                   rtol=2e-3, atol=2e-4)
 
 
 class TestConvLayoutParity:

@@ -138,7 +138,10 @@ class TestSegment:
     def test_sorted_segment_minmax_matches_scatter_path(self, rng):
         from softgroup_tpu.ops.segment import (segment_mean_fused,
                                                sorted_segment_minmax)
-        for nseg, n, block in [(17, 512, 64), (1, 256, 128), (40, 1024, 128),
+        # three shapes cover the cases (odd nseg + small block, degenerate
+        # 1-segment, many-segment big): each variant compiles 5 programs on
+        # the 1-core CI host, so keep the set minimal
+        for nseg, n, block in [(17, 512, 64), (1, 256, 128),
                                (256, 2048, 128)]:
             ids = np.sort(rng.randint(0, nseg + 1, size=n))  # sorted + dustbin
             vals = rng.randn(n, 3).astype(np.float32)

@@ -142,11 +142,18 @@ class TestReferenceImport:
         (out, in) linears) restores every tensor bit-exactly."""
         import jax
         import __graft_entry__ as ge
+        from softgroup_tpu.model.softgroup import Capacities
         from softgroup_tpu.util.checkpoint import (_translate,
                                                    import_reference_weights)
 
+        # small capacities: the test only needs the variable STRUCTURE, and
+        # _build's bench-scale defaults cost ~15 s of init compile here
+        caps = Capacities(points=2048, voxels=(2048, 2048, 2048),
+                          grouping_points=4096, proposals=16,
+                          proposal_entries=4096, instances=32,
+                          inst_voxels=(2048, 512))
         _, variables, _, _, _ = ge._build(channels=4, num_blocks=3,
-                                          n_points=1500)
+                                          n_points=1500, caps=caps)
         variables = dict(variables)
         flat, _ = jax.tree_util.tree_flatten_with_path(variables)
         rng = np.random.RandomState(0)

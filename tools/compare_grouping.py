@@ -13,11 +13,14 @@ variant.
 
 Output: one table row per variant, printed AS EACH VARIANT FINISHES (the
 round-2 version batched all output to the end and looked hung for the whole
-multi-minute compile).  Capacities scale with --n-points.  The default
-preset (120k pts, 2 seeds) completes in under 5 minutes on the v5e chip.
+multi-minute compile).  Capacities scale with --n-points.  The exact
+variant times ONE iteration (its XLA compile grows superlinearly with the
+entry cap — the cell variants compile in ~40 s and run in ~100 ms, see the
+committed table); pass --json to write the rows as a machine-readable
+artifact.
 
-The committed evidence lives in docs/grouping_fidelity.md (VERDICT round-1
-item 3 / round-2 next-round item 1).
+Committed evidence: docs/grouping_fidelity.md + GROUPING_r04.json (run on
+the v5e chip).
 """
 
 from __future__ import annotations
@@ -88,6 +91,9 @@ def main():
     p.add_argument('--seeds', type=int, default=2)
     p.add_argument('--offset-noise', type=float, default=0.03)
     p.add_argument('--timing-iters', type=int, default=5)
+    p.add_argument('--skip-exact', action='store_true')
+    p.add_argument('--json', default=None,
+                   help='write rows to this path as JSON')
     args = p.parse_args()
 
     import jax
@@ -112,9 +118,13 @@ def main():
             exact_ball_query=exact, cell_scale=cell_scale),
             test_cfg=dict(min_npoint=100)))
 
-    variants = [('exact_ball_query', cfg_for(True, 1.0)),
-                ('cell_scale_0.5', cfg_for(False, 0.5)),
-                ('cell_scale_1.0', cfg_for(False, 1.0))]
+    # (name, cfg, timing iters): the exact variant times one iteration —
+    # it runs in seconds/scene where contraction runs in ~0.1 s
+    variants = [('exact_ball_query', cfg_for(True, 1.0), 1),
+                ('cell_scale_0.5', cfg_for(False, 0.5), args.timing_iters),
+                ('cell_scale_1.0', cfg_for(False, 1.0), args.timing_iters)]
+    if args.skip_exact:
+        variants = variants[1:]
 
     # ---- build inputs once (shared across variants) -----------------------
     scenes = []
@@ -151,7 +161,7 @@ def main():
           f'{"n_prop":>7} {"ms":>8} {"compile_s":>9}', flush=True)
 
     rows = []
-    for name, cfg in variants:
+    for name, cfg, iters in variants:
         fn = jax.jit(lambda s, o, b, c, v, cfg=cfg: forward_grouping(
             s, o, b, c, v, cfg, caps))
         preds, times = [], []
@@ -159,15 +169,16 @@ def main():
         compile_s = None
         for si, (n, inputs) in enumerate(scenes):
             props = fn(*inputs)
-            jax.block_until_ready(props.entry_seg)
+            # host fetch: block_until_ready does not drain the tunnelled
+            # TPU queue (same caveat as bench.py)
+            np.asarray(props.n_proposals)
             if compile_s is None:
                 compile_s = time.perf_counter() - t_c0
             t0 = time.perf_counter()
-            for _ in range(args.timing_iters):
+            for _ in range(iters):
                 props = fn(*inputs)
-            np.asarray(props.n_proposals)
-            times.append((time.perf_counter() - t0)
-                         / args.timing_iters * 1000)
+                np.asarray(props.n_proposals)
+            times.append((time.perf_counter() - t0) / iters * 1000)
             # class-agnostic scoring: proposal quality is what differs
             preds.append(proposals_to_instances(props, n, f'scan{si}'))
         res = ev.evaluate(preds, gts, nproc=1)
@@ -177,6 +188,20 @@ def main():
         rows.append(row)
         print(f'{name:>18} {row[1]:7.3f} {row[2]:7.3f} {row[3]:7.3f} '
               f'{npr:7.1f} {row[5]:8.2f} {compile_s:9.1f}', flush=True)
+    if args.json:
+        import json
+        with open(args.json, 'w') as f:
+            json.dump(dict(
+                n_points=args.n_points, seeds=args.seeds,
+                offset_noise=args.offset_noise,
+                caps=dict(points=caps.points, entries=caps.grouping_points,
+                          cells=caps.grouping_cells),
+                rows=[dict(variant=r[0], AP=round(r[1], 4),
+                           AP_50=round(r[2], 4), AP_25=round(r[3], 4),
+                           n_prop=r[4], ms=round(r[5], 2),
+                           compile_s=round(r[6], 1)) for r in rows]), f,
+                indent=1)
+        print(f'# wrote {args.json}', flush=True)
 
 
 if __name__ == '__main__':
