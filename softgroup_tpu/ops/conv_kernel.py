@@ -628,11 +628,21 @@ def overflow_correction_entries(feats: jax.Array, weight: jax.Array,
         out = apply_chunk(out, (ke, ve, src))
     else:
         assert cap % chunk == 0, (cap, chunk)
-        nc = cap // chunk
-        ents = (ke.reshape(nc, chunk), ve.reshape(nc, chunk),
-                src.reshape(nc, chunk))
-        out = jax.lax.scan(
-            lambda o, e: (apply_chunk(o, e), None), out, ents)[0]
+        # live entries form a compacted PREFIX (both the host WindowMeta
+        # build and the device cumsum compaction emit them first), so only
+        # ceil(n_live / chunk) chunks carry work — the static cap is sized
+        # for the worst batch and typically 1.5-2x the live count (batch-4
+        # rooms: 113k live of 245k cap at L0).  A fori_loop over the live
+        # chunks skips the dead ones instead of scanning the full cap.
+        n_live = jnp.sum(ve >= 0)
+        n_chunks = jnp.minimum((n_live + chunk - 1) // chunk, cap // chunk)
+
+        def body(i, o):
+            ent = tuple(jax.lax.dynamic_slice(a, (i * chunk,), (chunk,))
+                        for a in (ke, ve, src))
+            return apply_chunk(o, ent)
+
+        out = jax.lax.fori_loop(0, n_chunks, body, out)
     return out[:v_out]
 
 
@@ -1048,11 +1058,16 @@ def dw_overflow_correction(feats: jax.Array, g_out: jax.Array,
         acc = chunk_dw(acc, (ke, ve, src))
     else:
         assert cap % chunk == 0, (cap, chunk)
-        nc = cap // chunk
-        ents = (ke.reshape(nc, chunk), ve.reshape(nc, chunk),
-                src.reshape(nc, chunk))
-        acc = jax.lax.scan(lambda a, e: (chunk_dw(a, e), None), acc,
-                           ents)[0]
+        # live-prefix fori_loop — see overflow_correction_entries
+        n_live = jnp.sum(ve >= 0)
+        n_chunks = jnp.minimum((n_live + chunk - 1) // chunk, cap // chunk)
+
+        def body(i, a):
+            ent = tuple(jax.lax.dynamic_slice(x, (i * chunk,), (chunk,))
+                        for x in (ke, ve, src))
+            return chunk_dw(a, ent)
+
+        acc = jax.lax.fori_loop(0, n_chunks, body, acc)
     return acc.reshape(k, cin, cout)
 
 

@@ -132,12 +132,19 @@ def devoxelize(vox_feats: jax.Array, p2v: jax.Array) -> jax.Array:
     if (kernels_enabled() and vox_feats.dtype == jnp.bfloat16
             and vox_feats.ndim == 2 and vox_feats.shape[1] <= 128
             and p2v.shape[0] % 256 == 0 and v >= 512):
-        return _devox_vjp(vox_feats, idx)
+        # raw p2v rides along UNUSED by the primal (pads >= v) so the
+        # BACKWARD can segment-sum without the capacity-pad tail: clipped
+        # to v-1 the tail funnels into one segment and overflows any
+        # window, forcing the segsum kernel's fallback every step.  (The
+        # primal keeps the exact pre-existing op structure — moving the
+        # clip inside the custom_vjp measured +111 ms/scan on the
+        # inference bench, an XLA scheduling artifact.)
+        return _devox_vjp(vox_feats, idx, p2v)
     return vox_feats[idx]
 
 
 @jax.custom_vjp
-def _devox_vjp(vox_feats, idx):
+def _devox_vjp(vox_feats, idx, p2v):
     from .dispatch import kernel_interpret
     from .gather_kernel import (monotone_row_gather,
                                 monotone_window_overflow)
@@ -151,17 +158,36 @@ def _devox_vjp(vox_feats, idx):
         lambda: vox_feats[idx])
 
 
-def _devox_fwd(vox_feats, idx):
+def _devox_fwd(vox_feats, idx, p2v):
     # residuals must be jax types: a zero-size prototype carries (V, dtype)
     proto = jnp.zeros((vox_feats.shape[0], 0), vox_feats.dtype)
-    return _devox_vjp(vox_feats, idx), (idx, proto)
+    return _devox_vjp(vox_feats, idx, p2v), (p2v, proto)
 
 
 def _devox_bwd(res, g):
-    idx, proto = res
-    gv = jax.ops.segment_sum(g.astype(jnp.float32), idx,
-                             num_segments=proto.shape[0])
-    return gv.astype(proto.dtype), None
+    p2v, proto = res
+    v = proto.shape[0]
+    from .dispatch import kernel_interpret, kernels_enabled
+    if (kernels_enabled() and g.dtype == jnp.bfloat16 and g.ndim == 2
+            and g.shape[1] <= 128 and v % 256 == 0
+            and g.shape[0] % 128 == 0 and g.shape[0] >= 1024):
+        # sorted p2v => the gather transpose is a monotone segment sum;
+        # the windowed kernel replaces XLA's serial scatter-add (~78 ms
+        # for (1M, 32) cotangents at batch-4 bench scale).  Pad rows
+        # (p2v >= v) drop out of the one-hot; the forward clips them to
+        # row v-1, so their (loss-masked, normally zero) cotangent is
+        # re-added there to keep the exact gather transpose.
+        from .gather_kernel import monotone_segment_sum
+        gv = monotone_segment_sum(g, p2v, v,
+                                  interpret=kernel_interpret())
+        pad = p2v >= v
+        pad_sum = jnp.sum(
+            jnp.where(pad[:, None], g.astype(jnp.float32), 0.0), axis=0)
+        gv = gv.at[v - 1].add(pad_sum)
+    else:
+        gv = jax.ops.segment_sum(g.astype(jnp.float32),
+                                 jnp.clip(p2v, 0, v - 1), num_segments=v)
+    return gv.astype(proto.dtype), None, None
 
 
 _devox_vjp.defvjp(_devox_fwd, _devox_bwd)

@@ -70,3 +70,60 @@ class TestMonotoneGather:
         idx = (np.arange(e, dtype=np.int32) * 37)
         v = int(idx[-1]) + 1
         assert int(monotone_window_overflow(jnp.asarray(idx), b, w, v)) > 0
+
+
+class TestMonotoneSegmentSum:
+    """monotone_segment_sum (the devoxelize-backward kernel) vs
+    jax.ops.segment_sum on sorted segment ids."""
+
+    def test_matches_segment_sum(self, rng):
+        from softgroup_tpu.ops.gather_kernel import monotone_segment_sum
+        n, v, c = 2048, 1536, 32
+        # sorted ids with duplicate runs + a clipped tail (pad rows clip to
+        # v-1, like devoxelize's idx)
+        seg = np.sort(rng.randint(0, v, size=n)).astype(np.int32)
+        seg[-64:] = v - 1
+        vals = rng.randn(n, c).astype(np.float32).astype(jnp.bfloat16)
+        out = monotone_segment_sum(jnp.asarray(vals), jnp.asarray(seg), v,
+                                   block_b=256, window_w=1024,
+                                   interpret=True)
+        import jax
+        ref = jax.ops.segment_sum(jnp.asarray(vals).astype(jnp.float32),
+                                  jnp.asarray(seg), num_segments=v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-5)
+
+    def test_overflow_falls_back(self, rng):
+        """One segment holding more rows than the window must still be
+        exact (lax.cond fallback to segment_sum)."""
+        from softgroup_tpu.ops.gather_kernel import monotone_segment_sum
+        n, v, c = 2048, 512, 8
+        seg = np.zeros(n, np.int32)       # all rows in segment 0
+        seg[-4:] = v - 1
+        vals = rng.randn(n, c).astype(np.float32).astype(jnp.bfloat16)
+        out = monotone_segment_sum(jnp.asarray(vals), jnp.asarray(seg), v,
+                                   block_b=256, window_w=1024,
+                                   interpret=True)
+        import jax
+        ref = jax.ops.segment_sum(jnp.asarray(vals).astype(jnp.float32),
+                                  jnp.asarray(seg), num_segments=v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_pad_tail_dropped(self, rng):
+        """A capacity-pad tail (seg == num_segments) must not overflow the
+        windows nor contribute — devoxelize-backward's layout."""
+        from softgroup_tpu.ops.gather_kernel import monotone_segment_sum
+        n, v, c = 2048, 512, 16
+        seg = np.sort(rng.randint(0, v, size=n - 700)).astype(np.int32)
+        seg = np.concatenate([seg, np.full(700, v, np.int32)])
+        vals = rng.randn(n, c).astype(np.float32).astype(jnp.bfloat16)
+        out = monotone_segment_sum(jnp.asarray(vals), jnp.asarray(seg), v,
+                                   block_b=256, window_w=1024,
+                                   interpret=True)
+        import jax
+        ref = jax.ops.segment_sum(
+            jnp.asarray(vals[:n - 700]).astype(jnp.float32),
+            jnp.asarray(seg[:n - 700]), num_segments=v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-5)
