@@ -223,21 +223,24 @@ class WindowMeta:
     inside LevelGeom through jit/shard_map."""
 
     def __init__(self, local, starts, n_overflow, corr_ke, corr_ve,
-                 corr_src):
+                 corr_src, ve_sorted=False):
         self.local = local
         self.starts = starts
         self.n_overflow = n_overflow
         self.corr_ke = corr_ke
         self.corr_ve = corr_ve
         self.corr_src = corr_src
+        # static: live corr entries sorted by out-voxel (ve) — enables the
+        # segment-sum correction path (overflow_correction_sorted)
+        self.ve_sorted = bool(ve_sorted)
 
     def tree_flatten(self):
         return ((self.local, self.starts, self.n_overflow, self.corr_ke,
-                 self.corr_ve, self.corr_src), None)
+                 self.corr_ve, self.corr_src), self.ve_sorted)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, ve_sorted=aux)
 
 
 jax.tree_util.register_pytree_node(
@@ -258,6 +261,7 @@ def build_window_meta_np(rules: np.ndarray, group_of_tap, n_groups: int,
     if native.use_native():
         local, starts, n_over, ke, ve, src = native.window_meta_native(
             rules, gmap, n_groups, w, b, v_in, n_win, corr_cap)
+        ke, ve, src = (np.array(ke), np.array(ve), np.array(src))
     else:
         local, starts, n_over = window_rules_np(rules, gmap, n_groups, w, b,
                                                 v_in, n_win)
@@ -270,9 +274,18 @@ def build_window_meta_np(rules: np.ndarray, group_of_tap, n_groups: int,
         ke[:m] = eidx // v_out
         ve[:m] = eidx % v_out
         src[:m] = flat[eidx]
+    # sort the live prefix by out-voxel: the correction then applies as a
+    # monotone segment sum over ve (overflow_correction_sorted) instead of
+    # a chunked scatter-add carry.  Order-insensitive consumers (the dw
+    # correction) are unaffected.
+    n_live = int((np.asarray(ve) >= 0).sum())
+    order = np.argsort(ve[:n_live], kind='stable')
+    ke[:n_live] = ke[:n_live][order]
+    ve[:n_live] = ve[:n_live][order]
+    src[:n_live] = src[:n_live][order]
     return WindowMeta(jnp.asarray(local), jnp.asarray(starts),
                       jnp.asarray(np.int32(n_over)), jnp.asarray(ke),
-                      jnp.asarray(ve), jnp.asarray(src))
+                      jnp.asarray(ve), jnp.asarray(src), ve_sorted=True)
 
 
 def window_overflow(rules: jax.Array, group_of_tap, n_groups: int,
@@ -644,6 +657,61 @@ def overflow_correction_entries(feats: jax.Array, weight: jax.Array,
 
         out = jax.lax.fori_loop(0, n_chunks, body, out)
     return out[:v_out]
+
+
+def overflow_correction_sorted(feats: jax.Array, weight: jax.Array,
+                               ke: jax.Array, ve: jax.Array,
+                               src: jax.Array, v_out: int,
+                               chunk: int = _SUBM_CORR_CHUNK) -> jax.Array:
+    """Correction from VE-SORTED compacted dropped entries: per-entry
+    contributions via the one-hot block matmul (chunk-unrolled, NO carried
+    (V_out, Cout) buffer), then ONE monotone segment sum over ve through
+    the MXU one-hot kernel — replaces the chunk-scan whose every iteration
+    scatter-added into a ~109 MB carry (~4 ms/chunk at batch-4 L0).
+
+    Precision: the segment sum splits each f32 contribution column into
+    bf16 components (3 -> exact f32 when 3*Cout <= 128, else 2 -> 16
+    mantissa bits, already finer than the bf16-input rounding of the
+    contributions themselves); falls back to one scatter-add when the
+    entries don't fit the kernel's windows or shape constraints."""
+    k, cin, cout = weight.shape
+    cap = ke.shape[0]
+    v_in = feats.shape[0]
+    padded = jnp.concatenate(
+        [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    cd = jnp.bfloat16
+    wflat = weight.astype(cd).reshape(k * cin, cout)
+
+    def contrib_chunk(ke_c, ve_c, src_c):
+        valid = ve_c >= 0
+        rows = padded[jnp.where(src_c < 0, v_in, src_c)]
+        oh = jax.nn.one_hot(jnp.clip(ke_c, 0, k - 1), k, dtype=cd)
+        aug = (oh[:, :, None] * rows[:, None, :].astype(cd)).reshape(
+            -1, k * cin)
+        c = jnp.dot(aug, wflat, preferred_element_type=jnp.float32)
+        return jnp.where(valid[:, None], c, 0.0)
+
+    if cap <= chunk:
+        contrib = contrib_chunk(ke, ve, src)
+    else:
+        assert cap % chunk == 0, (cap, chunk)
+        nc = cap // chunk
+        contrib = jnp.concatenate([
+            contrib_chunk(ke[i * chunk:(i + 1) * chunk],
+                          ve[i * chunk:(i + 1) * chunk],
+                          src[i * chunk:(i + 1) * chunk])
+            for i in range(nc)])                       # (cap, Cout) f32
+
+    seg = jnp.where(ve >= 0, ve, v_out)   # pads -> dropped by the segsum
+    from .dispatch import kernel_interpret, kernels_enabled
+    split = 3 if 3 * cout <= 128 else (2 if 2 * cout <= 128 else 1)
+    if (kernels_enabled() and v_out % 256 == 0 and cap % 128 == 0
+            and cap >= 1024 and cout <= 128):
+        from .gather_kernel import monotone_segment_sum_f32
+        return monotone_segment_sum_f32(contrib, seg, v_out, split=split,
+                                        interpret=kernel_interpret())
+    return jnp.zeros((v_out + 1, cout), jnp.float32).at[
+        jnp.minimum(seg, v_out)].add(contrib)[:v_out]
 
 
 # ---------------------------------------------------------------------------

@@ -256,6 +256,35 @@ def monotone_segment_sum(values: jax.Array, seg: jax.Array,
     return jax.lax.cond(overflow, run_xla, run_kernel, None)
 
 
+def monotone_segment_sum_f32(values: jax.Array, seg: jax.Array,
+                             num_segments: int, block_b: int = 256,
+                             window_w: int = 1024, split: int = 3,
+                             interpret: bool = False) -> jax.Array:
+    """f32 monotone segment sum through the one-hot MXU reduction.
+
+    split: bf16 column components per f32 column (split*C <= 128 required).
+    3 = exact f32 (24 mantissa bits); 2 = 16 mantissa bits — more precise
+    than bf16-input rounding, for C in (42, 64]; 1 = plain bf16 inputs with
+    f32 accumulation.  Same seg semantics/fallback as
+    monotone_segment_sum."""
+    c = values.shape[1]
+    assert split * c <= 128, (split, c)
+    if split == 3:
+        cols = f32_to_bf16x3(values)
+    elif split == 2:
+        hi = values.astype(jnp.bfloat16)
+        lo = (values - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        cols = jnp.concatenate([hi, lo], axis=1)
+    else:
+        cols = values.astype(jnp.bfloat16)
+    got = monotone_segment_sum(cols, seg, num_segments, block_b=block_b,
+                               window_w=window_w, interpret=interpret)
+    out = got[:, :c]
+    for j in range(1, split):
+        out = out + got[:, j * c:(j + 1) * c]
+    return out
+
+
 def monotone_gather_f32(src: jax.Array, idx: jax.Array, extra: jax.Array
                         | None = None, block_b: int = 256,
                         window_w: int = 384, interpret: bool = False):

@@ -88,6 +88,11 @@ def _windowed_exact(feats, weight, rules, groups, n_groups,
     chunk = _DOWN_CORR_CHUNK if rules.shape[0] == 8 else _SUBM_CORR_CHUNK
 
     def correction():
+        if win is not None and getattr(win, 've_sorted', False):
+            from .conv_kernel import overflow_correction_sorted
+            return overflow_correction_sorted(
+                feats, weight, win.corr_ke, win.corr_ve, win.corr_src,
+                v_out, chunk=chunk)
         if win is not None:
             return overflow_correction_entries(
                 feats, weight, win.corr_ke, win.corr_ve, win.corr_src,

@@ -274,7 +274,7 @@ class TestCellClusterCSR:
         harness).  Kernel conditions: n % 256 == 0, m + 1 >= 384."""
         from softgroup_tpu.ops import dispatch
         from softgroup_tpu.ops.grouping import cell_cluster_csr
-        n, m = 512, 512
+        n, m = 256, 512    # one 256-entry block; m + 1 >= 384 window
         n_valid = 100
         pts = np.zeros((n, 3), np.float32)
         # three well-separated blobs in the valid prefix
