@@ -506,9 +506,14 @@ def clusters_voxelization(props: Proposals, feats: jax.Array,
     # ONE wide row gather for coords+feats: TPU row gathers move a (16, 128)
     # tile per row, so a (E, 3) f32 gather costs the same as (E, 3+C) — two
     # separate gathers would double the traffic (the narrow coords one is
-    # ~2.5 ms alone at bench scale)
-    comb = jnp.concatenate([coords_float,
-                            feats.astype(jnp.float32)], axis=1)[ci]
+    # ~2.5 ms alone at bench scale).  The custom VJP replaces the gather
+    # transpose's serial scatter-add with sort + one-hot MXU segment sum
+    # (the backbone grad flows through this gather when training all
+    # params: ~95 -> ~12 ms at batch-4 scale).
+    from ..ops.gather_kernel import gather_rows_segsum_vjp
+    comb = gather_rows_segsum_vjp(
+        jnp.concatenate([coords_float, feats.astype(jnp.float32)], axis=1),
+        ci)
     coords = comb[:, :3]
     fe = comb[:, 3:]
     seg = jnp.where(props.entry_valid, props.entry_seg, p_max)

@@ -285,6 +285,47 @@ def monotone_segment_sum_f32(values: jax.Array, seg: jax.Array,
     return out
 
 
+@jax.custom_vjp
+def gather_rows_segsum_vjp(src: jax.Array, idx: jax.Array) -> jax.Array:
+    """src[idx] with a sort + monotone-segment-sum backward.
+
+    The gather transpose XLA emits is a serial scatter-add of the (E, C)
+    cotangent into (V, C) (~95 ms for 524k x 35 rows at batch-4 bench
+    scale).  The backward here sorts the cotangent rows by target (one
+    argsort + one row gather) and reduces with the one-hot MXU segment-sum
+    kernel (~12 ms total).  The primal is EXACTLY ``src[idx]`` — identical
+    inference program.  idx must be pre-clipped to [0, V)."""
+    return src[idx]
+
+
+def _grs_fwd(src, idx):
+    proto = jnp.zeros((src.shape[0], 0), src.dtype)
+    return src[idx], (idx, proto)
+
+
+def _grs_bwd(res, g):
+    idx, proto = res
+    v = proto.shape[0]
+    e = idx.shape[0]
+    c = g.shape[1]
+    from .dispatch import kernel_interpret, kernels_enabled
+    if (kernels_enabled() and v % 256 == 0 and e % 128 == 0 and e >= 1024
+            and 2 * c <= 128 and g.dtype in (jnp.float32, jnp.bfloat16)):
+        order = jnp.argsort(idx)
+        idx_s = idx[order]
+        g_s = g[order].astype(jnp.float32)
+        split = 3 if 3 * c <= 128 else 2
+        gv = monotone_segment_sum_f32(g_s, idx_s, v, split=split,
+                                      interpret=kernel_interpret())
+    else:
+        gv = jax.ops.segment_sum(g.astype(jnp.float32), idx,
+                                 num_segments=v)
+    return gv.astype(proto.dtype), None
+
+
+gather_rows_segsum_vjp.defvjp(_grs_fwd, _grs_bwd)
+
+
 def monotone_gather_f32(src: jax.Array, idx: jax.Array, extra: jax.Array
                         | None = None, block_b: int = 256,
                         window_w: int = 384, interpret: bool = False):

@@ -127,3 +127,38 @@ class TestMonotoneSegmentSum:
             jnp.asarray(seg[:n - 700]), num_segments=v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-6, atol=1e-5)
+
+
+class TestGatherRowsSegsumVjp:
+
+    def test_forward_and_grad_match_plain_gather(self, rng):
+        from softgroup_tpu.ops import dispatch
+        from softgroup_tpu.ops.gather_kernel import gather_rows_segsum_vjp
+        import jax
+        v, e, c = 512, 1152, 5
+        src = rng.randn(v, c).astype(np.float32)
+        idx = rng.randint(0, v, size=e).astype(np.int32)
+        ct = rng.randn(e, c).astype(np.float32)
+
+        def f(s):
+            return jnp.sum(gather_rows_segsum_vjp(s, jnp.asarray(idx))
+                           * jnp.asarray(ct))
+
+        def ref(s):
+            return jnp.sum(s[jnp.asarray(idx)] * jnp.asarray(ct))
+
+        out = gather_rows_segsum_vjp(jnp.asarray(src), jnp.asarray(idx))
+        assert np.array_equal(np.asarray(out), src[idx])
+        # CPU fallback branch
+        g1 = np.asarray(jax.grad(f)(jnp.asarray(src)))
+        g0 = np.asarray(jax.grad(ref)(jnp.asarray(src)))
+        np.testing.assert_allclose(g1, g0, rtol=1e-6, atol=1e-6)
+        # kernel branch in interpret mode (e % 128 == 0, v % 256 == 0)
+        dispatch.set_kernels(True)
+        dispatch.set_interpret(True)
+        try:
+            g2 = np.asarray(jax.grad(f)(jnp.asarray(src)))
+        finally:
+            dispatch.set_kernels(None)
+            dispatch.set_interpret(None)
+        np.testing.assert_allclose(g2, g0, rtol=1e-6, atol=1e-5)
