@@ -47,18 +47,21 @@ _DOWN_CORR_CHUNK = 16384
 
 def subm_plan(v_out: int) -> tuple[int, int, int, int]:
     """(block_b, window_w, n_win, corr_cap) for submanifold rulebooks, by
-    static output capacity.  Sizes chosen for near-zero overflow on
-    realistic scenes: DUAL windows (n_win=2) jump the block-target gaps
-    single windows must span; the residue (surface scenes overflow tight
-    subm windows by ~33k entries per 188k-voxel scan — walls are density
-    cliffs in the x-major sort order) is re-added exactly by the sparse
-    correction.  corr_cap SCALES with v_out (overflow is per-scene and a
-    multi-scene batch concatenates scenes): with a fixed cap, a batch-4
-    train step fell past the cap into the full XLA conv at 852k rows —
-    ~240 ms/conv (gathers superlinear at >2M-row tables), 7.8 s/step."""
+    static output capacity.  DUAL windows (n_win=2) jump the block-target
+    gaps single windows must span; entries outside the windows are re-added
+    exactly by the sparse correction.  Width trades the kernel's per-block
+    one-hot compare cost (~K*We*B VPU ops — the bound at C=32) against
+    correction volume: on batch-4 room rulebooks overflow is 2.5% of live
+    entries at w=256 vs 3.5% at w=192 vs 5.5% at w=160, and the measured
+    batch-4 train step is 1505 ms (w=256) / 1420 ms (w=192) / 1993 ms
+    (w=160, corrections dominate) — w=192 is the knee.  corr_cap SCALES
+    with v_out (overflow is per-scene and a multi-scene batch concatenates
+    scenes): with a fixed cap, a batch-4 train step fell past the cap into
+    the full XLA conv at 852k rows — ~240 ms/conv (gathers superlinear at
+    >2M-row tables), 7.8 s/step."""
     m = max(1, -(-v_out // 196608))
     if v_out >= 65536:
-        return 256, 256, 2, _SUBM_CORR_CHUNK * m
+        return 256, 192, 2, _SUBM_CORR_CHUNK * m
     return 128, 192, 2, _SUBM_CORR_CHUNK * m
 
 
@@ -66,9 +69,19 @@ def down_plan(v_out: int) -> tuple[int, int, int, int]:
     """(block_b, window_w, n_win, corr_cap) for k2s2 down rulebooks: fine
     voxel order is not monotone in coarse order across x-slab boundaries,
     so single windows overflow STRUCTURALLY (spans ~1900 rows at block
-    128); dual 384-wide windows jump the gap.  corr_cap scales like
-    subm_plan's."""
-    return 128, 384, 2, _DOWN_CORR_CHUNK * max(1, -(-v_out // 98304))
+    128); dual windows jump the gap.  Width shrinks with level size (the
+    kernel's one-hot compare cost is ~K*We per output row, so tighter
+    windows are a direct VPU cut): batch-4 room rulebooks overflow 0.012%
+    at w=192 on the big L0->L1 level and 1.5% at w=256 on L1->L2, but
+    30%+ at w<=256 on the sparse deep levels, which keep w=384.  corr_cap
+    scales like subm_plan's."""
+    if v_out >= 196608:
+        w = 192
+    elif v_out >= 98304:
+        w = 256
+    else:
+        w = 384
+    return 128, w, 2, _DOWN_CORR_CHUNK * max(1, -(-v_out // 98304))
 
 
 def _mm(lhs, rhs):
