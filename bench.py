@@ -17,8 +17,16 @@ Baseline: 288 ms/scan, reference implementation on 1x Titan X
 (`/root/reference/README.md:22,32`; BASELINE.md).  vs_baseline is the
 speedup factor (288 / ours; > 1 means faster than the reference).
 
-Prints exactly ONE JSON line on stdout; the roofline/MFU summary goes to
-stderr (see docs/performance.md).
+Reporting contract (VERDICT round-4 weak #1): exactly ONE JSON line on
+stdout, printed IMMEDIATELY after the vanilla timing loop — before the
+SoftGroup++ lvl_fusion program compiles — so a driver timeout during the
+second compile can never lose the primary number.  The persistent XLA
+compilation cache (`.xla_cache/`, prewarmed in-repo) drops warm-start wall
+time from ~10 min to seconds.  Spread fields (VERDICT round-4 weak #6): the
+timing loop runs 3 times; `value` is the median, `spread_ms` carries
+[min, max] of the per-loop means.  The lvl_fusion number goes to stderr and
+to `BENCH_LVL_FUSION.json`, guarded by a wall-clock budget
+(`SOFTGROUP_BENCH_BUDGET_S`, default 480 s).
 """
 
 from __future__ import annotations
@@ -31,6 +39,7 @@ import time
 import numpy as np
 
 PEAK_BF16_TFLOPS = 197.0   # TPU v5e MXU bf16 peak (394 is the int8 peak)
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def _load_pth(path):
@@ -70,8 +79,31 @@ def backbone_flops(pyramid, channels, num_blocks):
     return total
 
 
+def _time_loops(fn, variables, batch, iters=10, loops=3):
+    """Pipelined steady-state latency: scans stream through the device the
+    way a serving loop would; one sync per loop.  Returns per-loop means."""
+    means = []
+    for _ in range(loops):
+        t0 = time.perf_counter()
+        outs = [fn(variables, batch) for _ in range(iters)]
+        np.asarray(outs[-1]['n_proposals'])
+        means.append((time.perf_counter() - t0) / iters * 1000.0)
+    return means
+
+
 def main():
+    t_start = time.time()
+    budget_s = float(os.environ.get('SOFTGROUP_BENCH_BUDGET_S', '480'))
+
+    def mark(what):
+        print(f'[bench] t+{time.time() - t_start:7.1f}s  {what}',
+              file=sys.stderr, flush=True)
+
     import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(REPO_ROOT, '.xla_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 
     import __graft_entry__ as ge
     from softgroup_tpu.model.softgroup import Capacities
@@ -86,8 +118,6 @@ def main():
     if pth and os.path.isfile(pth):
         from softgroup_tpu.data.padding import build_scene_batch
         from softgroup_tpu.data.synthetic import collate_scenes
-        from softgroup_tpu.model.softgroup import SoftGroupNet
-        from softgroup_tpu.util.config import Config
         scene = _load_pth(pth)
         net, variables, cfg, caps, batch = ge._build(
             channels=32, num_blocks=7, caps=caps, scene='room')
@@ -103,37 +133,30 @@ def main():
             channels=32, num_blocks=7, n_points=250000, caps=caps,
             scene='room')
         source = 'synthetic-room'
+    mark('scene + batch + init built')
 
     fn = jax.jit(lambda v, b: net.apply(v, b, cfg, caps,
                                         method=net.test_forward))
     # warmup / compile (block via host fetch — this TPU is tunnelled and
     # block_until_ready alone does not drain the queue)
     out = fn(variables, batch)
+    mark('test_forward traced + compiled (or cache-loaded)')
     np.asarray(out['n_proposals'])
+    mark('first execution + sync done')
+    t_compiled = time.time()
 
-    # pipelined steady-state latency: scans stream through the device the
-    # way a serving loop would; one sync at the end
-    iters = 10
-    t0 = time.perf_counter()
-    outs = [fn(variables, batch) for _ in range(iters)]
-    np.asarray(outs[-1]['n_proposals'])
-    dt = (time.perf_counter() - t0) / iters * 1000.0
+    means = _time_loops(fn, variables, batch)
+    dt = float(np.median(means))
 
-    # SoftGroup++ lvl_fusion: grouping + refinement on the level-0 voxel
-    # set (reference softgroup.py:309-312 — "++ is faster at equal AP",
-    # README.md:50); second metric riding in the same JSON line.  Entry
-    # caps follow the voxel count (~188k live voxels per 250k-pt room) —
-    # the entry pipeline costs by CAP, not live rows.
-    caps_pp = caps._replace(grouping_points=294912,
-                            proposal_entries=196608)
-    fn_pp = jax.jit(lambda v, b: net.apply(v, b, cfg, caps_pp,
-                                           method=net.test_forward_plus))
-    out = fn_pp(variables, batch)
-    np.asarray(out['n_proposals'])
-    t0 = time.perf_counter()
-    outs = [fn_pp(variables, batch) for _ in range(iters)]
-    np.asarray(outs[-1]['n_proposals'])
-    dt_pp = (time.perf_counter() - t0) / iters * 1000.0
+    # PRIMARY LINE FIRST — nothing below may delay or lose it.
+    baseline = 288.0
+    print(json.dumps(dict(
+        metric='scannet_e2e_inference_latency',
+        value=round(dt, 2), unit='ms/scan',
+        vs_baseline=round(baseline / dt, 3),
+        spread_ms=[round(min(means), 2), round(max(means), 2)],
+        compile_s=round(t_compiled - t_start, 1))))
+    sys.stdout.flush()
 
     flops = backbone_flops(batch.pyramid, channels=32, num_blocks=7)
     achieved = flops / (dt / 1000.0) / 1e12
@@ -141,15 +164,36 @@ def main():
           f'achieved={achieved:.2f} TFLOP/s '
           f'mfu={achieved / PEAK_BF16_TFLOPS * 100:.2f}% '
           f'(bf16 peak {PEAK_BF16_TFLOPS} TFLOP/s)', file=sys.stderr)
+
+    # SoftGroup++ lvl_fusion: grouping + refinement on the level-0 voxel
+    # set (reference softgroup.py:309-312 — "++ is faster at equal AP",
+    # README.md:50).  Secondary metric: stderr + side file only, and only
+    # if enough wall-clock budget remains for a cold compile.
+    # margin = lvl_fusion trace (~30 s) + cached-executable load (~215 s
+    # for the 104 MB binary on the tunnelled chip) + timing + slack
+    elapsed = time.time() - t_start
+    if elapsed > budget_s - 300.0:
+        print(f'[bench] skipping lvl_fusion timing: {elapsed:.0f}s elapsed '
+              f'of {budget_s:.0f}s budget', file=sys.stderr)
+        return
+    caps_pp = caps._replace(grouping_points=294912,
+                            proposal_entries=196608)
+    fn_pp = jax.jit(lambda v, b: net.apply(v, b, cfg, caps_pp,
+                                           method=net.test_forward_plus))
+    out = fn_pp(variables, batch)
+    np.asarray(out['n_proposals'])
+    means_pp = _time_loops(fn_pp, variables, batch)
+    dt_pp = float(np.median(means_pp))
     print(f'[bench] softgroup++ lvl_fusion: {dt_pp:.2f} ms/scan '
           f'(vanilla {dt:.2f})', file=sys.stderr)
-
-    baseline = 288.0
-    print(json.dumps(dict(
-        metric='scannet_e2e_inference_latency',
-        value=round(dt, 2), unit='ms/scan',
-        vs_baseline=round(baseline / dt, 3),
-        lvl_fusion_ms=round(dt_pp, 2))))
+    with open(os.path.join(REPO_ROOT, 'BENCH_LVL_FUSION.json'), 'w') as f:
+        json.dump(dict(metric='scannet_e2e_lvl_fusion_latency',
+                       value=round(dt_pp, 2), unit='ms/scan',
+                       vs_baseline=round(baseline / dt_pp, 3),
+                       spread_ms=[round(min(means_pp), 2),
+                                  round(max(means_pp), 2)],
+                       vanilla_ms=round(dt, 2)), f)
+        f.write('\n')
 
 
 if __name__ == '__main__':

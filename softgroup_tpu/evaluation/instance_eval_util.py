@@ -163,7 +163,8 @@ def read_instance_prediction_file(filename: str, pred_path: str) -> dict:
             raise ValueError(f'{filename}: mask path must be relative')
         mask_file = osp.abspath(
             osp.join(osp.dirname(filename), parts[0]))
-        if osp.commonprefix([mask_file, abs_pred]) != abs_pred:
+        if mask_file != abs_pred and not mask_file.startswith(
+                abs_pred.rstrip(osp.sep) + osp.sep):
             raise ValueError(
                 f'{filename}: mask {mask_file} escapes {pred_path}')
         out[mask_file] = dict(label_id=int(float(parts[1])),

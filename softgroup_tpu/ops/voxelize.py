@@ -168,6 +168,10 @@ def _devox_bwd(res, g):
     p2v, proto = res
     v = proto.shape[0]
     from .dispatch import kernel_interpret, kernels_enabled
+    def _segsum_fallback():
+        return jax.ops.segment_sum(g.astype(jnp.float32),
+                                   jnp.clip(p2v, 0, v - 1), num_segments=v)
+
     if (kernels_enabled() and g.dtype == jnp.bfloat16 and g.ndim == 2
             and g.shape[1] <= 128 and v % 256 == 0
             and g.shape[0] % 128 == 0 and g.shape[0] >= 1024):
@@ -176,17 +180,25 @@ def _devox_bwd(res, g):
         # for (1M, 32) cotangents at batch-4 bench scale).  Pad rows
         # (p2v >= v) drop out of the one-hot; the forward clips them to
         # row v-1, so their (loss-masked, normally zero) cotangent is
-        # re-added there to keep the exact gather transpose.
-        from .gather_kernel import monotone_segment_sum
-        gv = monotone_segment_sum(g, p2v, v,
-                                  interpret=kernel_interpret())
-        pad = p2v >= v
-        pad_sum = jnp.sum(
-            jnp.where(pad[:, None], g.astype(jnp.float32), 0.0), axis=0)
-        gv = gv.at[v - 1].add(pad_sum)
+        # re-added there to keep the exact gather transpose.  The kernel's
+        # searchsorted block bounds are only valid on non-decreasing p2v;
+        # the host pipeline sorts points by voxel rank, but device-built
+        # arbitrary-order batches fall back to the plain segment-sum
+        # (ADVICE r04: without this guard an unsorted p2v would silently
+        # produce wrong gradients).
+        def _kernel():
+            from .gather_kernel import monotone_segment_sum
+            gv = monotone_segment_sum(g, p2v, v,
+                                      interpret=kernel_interpret())
+            pad = p2v >= v
+            pad_sum = jnp.sum(
+                jnp.where(pad[:, None], g.astype(jnp.float32), 0.0), axis=0)
+            return gv.at[v - 1].add(pad_sum)
+
+        sorted_p2v = jnp.all(p2v[1:] >= p2v[:-1])
+        gv = jax.lax.cond(sorted_p2v, _kernel, _segsum_fallback)
     else:
-        gv = jax.ops.segment_sum(g.astype(jnp.float32),
-                                 jnp.clip(p2v, 0, v - 1), num_segments=v)
+        gv = _segsum_fallback()
     return gv.astype(proto.dtype), None, None
 
 

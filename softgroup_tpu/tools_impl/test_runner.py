@@ -220,8 +220,9 @@ def summarize(results: list, cfg, dataset, logger=None) -> dict:
         from ..evaluation.panoptic_eval import PanopticEval
         thing = getattr(dataset, 'THING', None)
         stuff = getattr(dataset, 'STUFF', None)
-        ev = PanopticEval(thing, stuff,
-                          min_points=eval_min_npoint or 50)
+        ev = PanopticEval(
+            thing, stuff,
+            min_points=50 if eval_min_npoint is None else eval_min_npoint)
         pq = ev.evaluate(
             [r['panoptic_preds'] for r in results],
             [r['semantic_labels'] for r in results],

@@ -5,6 +5,8 @@ panoptic_fusion)."""
 
 from __future__ import annotations
 
+import os.path as osp
+
 import numpy as np
 
 from softgroup_tpu.evaluation.postprocess import (get_gt_instances,
@@ -156,10 +158,12 @@ class TestPanopticWriter:
     def test_label_file_roundtrip(self, tmp_path):
         import sys
         import yaml
-        sys.path.insert(0, '/root/repo')
+        sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
         from tools.test import save_panoptic
 
-        with open('/root/repo/dataset/kitti/semantic-kitti.yaml') as f:
+        kitti_yaml = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                      'dataset', 'kitti', 'semantic-kitti.yaml')
+        with open(kitti_yaml) as f:
             meta = yaml.safe_load(f)
         lmi = meta['learning_map_inv']
         raw_map = meta['learning_map']

@@ -22,12 +22,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os.path as osp
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def build_cfg(n_cls=20, k_inst=18, radius=0.04, cell_scale=1.0,
@@ -46,6 +47,7 @@ def build_cfg(n_cls=20, k_inst=18, radius=0.04, cell_scale=1.0,
         train_cfg=dict(max_proposal_num=128, pos_iou_thr=0.5),
         test_cfg=dict(x4_split=False, cls_score_thr=0.001,
                       mask_score_thr=-0.5, min_npoint=100,
+                      panoptic_skip_iou=0.5,
                       eval_tasks=['semantic', 'instance']),
     ))
 
@@ -99,6 +101,98 @@ def build_batches(n_points, n_scenes, num_levels, cfg, caps=None):
     return batches, metas, caps
 
 
+def evaluate_weights(net, cfg, caps, final_vars, batches, metas,
+                     lvl_fusion=False, panoptic=False, test_fn=None):
+    """Full inference + eval on the given weights.  lvl_fusion=True runs
+    `test_forward_plus` (grouping/refinement on the level-0 voxel set,
+    reference softgroup.py:309-312) and expands masks through p2v on the
+    host; vanilla runs `test_forward`.  Returns (metrics dict, test_fn)."""
+    import jax
+    import numpy as np
+
+    from softgroup_tpu.evaluation.instance_eval import ScanNetEval
+    from softgroup_tpu.evaluation.point_wise_eval import (
+        evaluate_offset_mae, evaluate_semantic_acc, evaluate_semantic_miou)
+    from softgroup_tpu.evaluation.postprocess import (get_gt_instances,
+                                                      get_instances,
+                                                      panoptic_fusion)
+
+    method = net.test_forward_plus if lvl_fusion else net.test_forward
+    if test_fn is None:
+        test_fn = jax.jit(lambda v, b: net.apply(
+            v, b, cfg, caps, method=method))
+
+    preds, gts = [], []
+    sem_pred_all, sem_gt_all, off_pred_all, off_gt_all, inst_gt_all = (
+        [], [], [], [], [])
+    pan_preds = []
+    for si, (batch, meta) in enumerate(zip(batches, metas)):
+        out = {k: np.asarray(v)
+               for k, v in test_fn(final_vars, batch).items()}
+        n = meta['n']
+        # everything stays in voxel-sorted space: entry_pt indexes the
+        # sorted batch rows, so gt comes from the (sorted) batch labels
+        sem_gt = np.asarray(batch.semantic_labels)[:n]
+        inst_gt = np.asarray(batch.instance_labels)[:n]
+        if lvl_fusion:
+            # proposal entries index level-0 voxels; expand via p2v
+            p2v = np.asarray(batch.pyramid.p2v)[:n]
+            n_vox = int(np.asarray(
+                batch.pyramid.levels[0].vox_valid).sum())
+            inst_pred = get_instances(f'scene{si}', out, n_vox, cfg,
+                                      v2p_map=p2v)
+        else:
+            inst_pred = get_instances(f'scene{si}', out, n, cfg)
+        preds.append(inst_pred)
+        gts.append(get_gt_instances(sem_gt, inst_gt, 20, 18))
+        sem_pred_all.append(out['semantic_preds'][:n])
+        sem_gt_all.append(sem_gt)
+        off_pred_all.append(out['pt_offsets'][:n])
+        off_gt_all.append(np.asarray(batch.pt_offset_labels)[:n])
+        inst_gt_all.append(inst_gt)
+        if panoptic:
+            pan_preds.append(panoptic_fusion(
+                out['semantic_preds'][:n], inst_pred, cfg, 20, 18))
+
+    ev = ScanNetEval([f'class_{i}' for i in range(18)],
+                     min_npoint=cfg.test_cfg.min_npoint)
+    res = ev.evaluate(preds, gts, nproc=1)
+    metrics = dict(
+        AP=round(res['all_ap'], 3), AP_50=round(res['all_ap_50%'], 3),
+        AP_25=round(res['all_ap_25%'], 3),
+        mIoU=round(float(evaluate_semantic_miou(
+            np.concatenate(sem_pred_all), np.concatenate(sem_gt_all),
+            -100, None)), 3),
+        Acc=round(float(evaluate_semantic_acc(
+            np.concatenate(sem_pred_all), np.concatenate(sem_gt_all),
+            -100, None)), 3),
+        offset_mae=round(float(evaluate_offset_mae(
+            np.concatenate(off_pred_all), np.concatenate(off_gt_all),
+            np.concatenate(inst_gt_all), -100, None)), 3),
+        n_pred_per_scene=round(float(np.mean([len(p) for p in preds])), 1))
+    if panoptic:
+        from softgroup_tpu.evaluation.panoptic_eval import PanopticEval
+        pev = PanopticEval(
+            thing_classes=[f'class_{i}' for i in range(2, 20)],
+            stuff_classes=['floor', 'wall'],
+            min_points=cfg.test_cfg.min_npoint)
+        pq = pev.evaluate(pan_preds, sem_gt_all, inst_gt_all, nproc=1,
+                          verbose=False)
+        # the protocol averages over ALL classes (absent ones score 0);
+        # the synthetic scenes cover only a subset, so also report PQ over
+        # classes present in gt — that is the number a pipeline bug moves
+        present = np.zeros(20, bool)
+        for s in sem_gt_all:
+            v = s[s >= 0]
+            present[np.unique(v)] = True
+        pq_cls = np.asarray(pq['per_class']['pq'])
+        metrics.update(
+            PQ=round(float(pq['PQ']), 3),
+            PQ_present=round(float(pq_cls[present].mean()), 3),
+            SQ=round(float(pq['SQ']), 3), RQ=round(float(pq['RQ']), 3))
+    return metrics, test_fn
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--n-points', type=int, default=15000)
@@ -107,17 +201,20 @@ def main():
     ap.add_argument('--channels', type=int, default=16)
     ap.add_argument('--num-blocks', type=int, default=5)
     ap.add_argument('--lr', type=float, default=2e-3)
+    ap.add_argument('--lvl-fusion', action='store_true',
+                    help='also evaluate test_forward_plus (SoftGroup++ '
+                         'lvl_fusion) on the same trained weights')
+    ap.add_argument('--panoptic', action='store_true',
+                    help='also compute PQ via panoptic_fusion + PanopticEval')
+    ap.add_argument('--eval-at', type=str, default='',
+                    help='comma-separated intermediate step counts to eval '
+                         'at (AP curve, e.g. 3000,6000)')
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import optax
 
-    from softgroup_tpu.evaluation.instance_eval import ScanNetEval
-    from softgroup_tpu.evaluation.point_wise_eval import (
-        evaluate_offset_mae, evaluate_semantic_acc, evaluate_semantic_miou)
-    from softgroup_tpu.evaluation.postprocess import (get_gt_instances,
-                                                      get_instances)
     from softgroup_tpu.model.softgroup import SoftGroupNet
     from softgroup_tpu.parallel.mesh import TrainState, make_train_step
 
@@ -142,7 +239,12 @@ def main():
                        step=jnp.zeros((), jnp.int32))
     base_rng = jax.random.PRNGKey(42)
 
+    eval_at = sorted(int(s) for s in args.eval_at.split(',') if s)
+    curve = {}
+    test_fn = None
+
     t0 = time.perf_counter()
+    train_s = 0.0
     for i in range(args.steps):
         state, logs = step(state, batches[i % len(batches)],
                            jax.random.fold_in(base_rng, i))
@@ -154,58 +256,56 @@ def main():
             logs = {k: float(v) for k, v in logs.items()}
             print(f'# step {i + 1}: ' + ' '.join(
                 f'{k}={v:.3f}' for k, v in sorted(logs.items())), flush=True)
-    train_s = time.perf_counter() - t0
+        if (i + 1) in eval_at and (i + 1) < args.steps:
+            train_s += time.perf_counter() - t0
+            mid_vars = {'params': state.params,
+                        'batch_stats': state.batch_stats}
+            m, test_fn = evaluate_weights(net, cfg, caps, mid_vars,
+                                          batches, metas, test_fn=test_fn)
+            curve[i + 1] = m
+            print(f'# eval@{i + 1}: AP {m["AP"]:.3f}  AP_50 {m["AP_50"]:.3f}'
+                  f'  AP_25 {m["AP_25"]:.3f}', flush=True)
+            t0 = time.perf_counter()
+    train_s += time.perf_counter() - t0
 
-    test_fn = jax.jit(lambda v, b: net.apply(
-        v, b, cfg, caps, method=net.test_forward))
     final_vars = {'params': state.params, 'batch_stats': state.batch_stats}
 
-    preds, gts = [], []
-    sem_pred_all, sem_gt_all, off_pred_all, off_gt_all, inst_gt_all = (
-        [], [], [], [], [])
     t0 = time.perf_counter()
-    for si, (batch, meta) in enumerate(zip(batches, metas)):
-        out = {k: np.asarray(v)
-               for k, v in test_fn(final_vars, batch).items()}
-        n = meta['n']
-        # everything stays in voxel-sorted space: entry_pt indexes the
-        # sorted batch rows, so gt comes from the (sorted) batch labels
-        sem_gt = np.asarray(batch.semantic_labels)[:n]
-        inst_gt = np.asarray(batch.instance_labels)[:n]
-        preds.append(get_instances(f'scene{si}', out, n, cfg))
-        gts.append(get_gt_instances(sem_gt, inst_gt, 20, 18))
-        sem_pred_all.append(out['semantic_preds'][:n])
-        sem_gt_all.append(sem_gt)
-        off_pred_all.append(out['pt_offsets'][:n])
-        off_gt_all.append(np.asarray(batch.pt_offset_labels)[:n])
-        inst_gt_all.append(inst_gt)
+    m, test_fn = evaluate_weights(net, cfg, caps, final_vars, batches,
+                                  metas, panoptic=args.panoptic,
+                                  test_fn=test_fn)
     infer_s = time.perf_counter() - t0
+    curve[args.steps] = m
 
-    ev = ScanNetEval([f'class_{i}' for i in range(18)],
-                     min_npoint=cfg.test_cfg.min_npoint)
-    res = ev.evaluate(preds, gts, nproc=1)
-    miou = evaluate_semantic_miou(np.concatenate(sem_pred_all),
-                                  np.concatenate(sem_gt_all), -100, None)
-    acc = evaluate_semantic_acc(np.concatenate(sem_pred_all),
-                                np.concatenate(sem_gt_all), -100, None)
-    mae = evaluate_offset_mae(np.concatenate(off_pred_all),
-                              np.concatenate(off_gt_all),
-                              np.concatenate(inst_gt_all), -100, None)
-    n_pred = float(np.mean([len(p) for p in preds]))
     print(f'# train {train_s:.0f}s  infer+eval {infer_s:.0f}s  '
-          f'n_pred/scene={n_pred:.1f}', flush=True)
-    print(f'AP {res["all_ap"]:.3f}  AP_50 {res["all_ap_50%"]:.3f}  '
-          f'AP_25 {res["all_ap_25%"]:.3f}  mIoU {miou:.3f}  Acc {acc:.3f}  '
-          f'Offset_MAE {mae:.3f}', flush=True)
+          f'n_pred/scene={m["n_pred_per_scene"]:.1f}', flush=True)
+    print(f'AP {m["AP"]:.3f}  AP_50 {m["AP_50"]:.3f}  '
+          f'AP_25 {m["AP_25"]:.3f}  mIoU {m["mIoU"]:.3f}  '
+          f'Acc {m["Acc"]:.3f}  Offset_MAE {m["offset_mae"]:.3f}',
+          flush=True)
+    if args.panoptic:
+        print(f'PQ {m["PQ"]:.1f}  PQ_present {m["PQ_present"]:.1f}  '
+              f'SQ {m["SQ"]:.1f}  RQ {m["RQ"]:.1f}', flush=True)
+
+    detail = dict(m, scenes=args.scenes, n_points=args.n_points,
+                  steps=args.steps)
+    if args.lvl_fusion:
+        t0 = time.perf_counter()
+        m_pp, _ = evaluate_weights(net, cfg, caps, final_vars, batches,
+                                   metas, lvl_fusion=True)
+        print(f'# lvl_fusion eval {time.perf_counter() - t0:.0f}s',
+              flush=True)
+        print(f'[lvl_fusion] AP {m_pp["AP"]:.3f}  AP_50 {m_pp["AP_50"]:.3f}'
+              f'  AP_25 {m_pp["AP_25"]:.3f}  (vanilla AP {m["AP"]:.3f})',
+              flush=True)
+        detail['lvl_fusion'] = m_pp
+    if eval_at:
+        detail['curve'] = {str(k): dict(AP=v['AP'], AP_50=v['AP_50'],
+                                        AP_25=v['AP_25'])
+                           for k, v in sorted(curve.items())}
     print(json.dumps(dict(
-        metric='synthetic_overfit_AP_50', value=round(res['all_ap_50%'], 3),
-        unit='AP_50',
-        detail=dict(AP=round(res['all_ap'], 3),
-                    AP_25=round(res['all_ap_25%'], 3),
-                    mIoU=round(float(miou), 3), Acc=round(float(acc), 3),
-                    offset_mae=round(float(mae), 3),
-                    scenes=args.scenes, n_points=args.n_points,
-                    steps=args.steps))))
+        metric='synthetic_overfit_AP_50', value=m['AP_50'],
+        unit='AP_50', detail=detail)))
 
 
 if __name__ == '__main__':

@@ -1,7 +1,8 @@
 """Smoke S3DIS-scale inference: 1M-point scene as 4 interleaved parts
 (x4_split), caps at the softgroup_s3dis config scale."""
+import os
 import sys, time
-sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from softgroup_tpu.data.padding import build_scene_batch
 from softgroup_tpu.data.synthetic import collate_scenes, make_room_scene

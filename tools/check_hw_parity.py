@@ -15,11 +15,12 @@ Exit code 0 = all parities hold.  Run: `python tools/check_hw_parity.py`.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

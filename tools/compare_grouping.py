@@ -26,12 +26,13 @@ the v5e chip).
 from __future__ import annotations
 
 import argparse
+import os.path as osp
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def simulated_head(data, n_points, rng, offset_noise=0.03, score_noise=1.0):

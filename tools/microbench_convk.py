@@ -4,6 +4,7 @@ on realistic (sorted-key) rulebooks."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -11,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from softgroup_tpu.data.synthetic import collate_scenes, make_scene
 from softgroup_tpu.ops.conv_kernel import (subm_conv_windowed, window_rules,

@@ -8,12 +8,13 @@ caps can shrink (and which are close to overflowing).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

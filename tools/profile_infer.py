@@ -4,11 +4,12 @@ scale) and print the top exclusive-time device ops."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture():
@@ -38,7 +39,7 @@ def capture():
 
 
 if __name__ == '__main__':
-    sys.path.insert(0, '/root/repo/tools')
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from profile_train import report
     if not (len(sys.argv) > 1 and sys.argv[1] == 'report'):
         capture()

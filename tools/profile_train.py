@@ -5,11 +5,12 @@ and print the top device ops by self time (parsed from the xplane proto)."""
 from __future__ import annotations
 
 import glob
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture():

@@ -7,6 +7,7 @@ backbone cost and what dw tiling is best."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -14,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from softgroup_tpu.data.synthetic import collate_scenes, make_scene
 from softgroup_tpu.ops.conv_kernel import (_SUBM_GROUPS, subm_conv_windowed,
