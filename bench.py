@@ -115,6 +115,7 @@ def main():
         instances=128, inst_voxels=(65536, 16384), grouping_cells=16384)
 
     pth = os.environ.get('SOFTGROUP_BENCH_PTH')
+    cache_pkl = os.path.join(REPO_ROOT, '.bench_cache', 'room250k_c32b7.pkl')
     if pth and os.path.isfile(pth):
         from softgroup_tpu.data.padding import build_scene_batch
         from softgroup_tpu.data.synthetic import collate_scenes
@@ -128,12 +129,39 @@ def main():
             data['pt_offset_labels'], data['instance_pointnum'],
             data['instance_cls'], data['spatial_shape'], caps, num_levels=7)
         source = f'pth:{os.path.basename(pth)}'
+        mark('pth scene + batch + init built')
+    elif os.path.isfile(cache_pkl):
+        # warm path: the host-side build (surface scene sampling, 7-level
+        # pyramid + rulebooks + window metadata, init trace/execute) costs
+        # ~250 s on this 1-CPU host — all of it input-independent.  A pickle
+        # of the numpy batch + init variables (written by the first run)
+        # loads in seconds; one device_put uploads it exactly like the
+        # original jnp.asarray path would.
+        import pickle
+        with open(cache_pkl, 'rb') as f:
+            batch_np, vars_np = pickle.load(f)
+        mark('host cache unpickled')
+        net, cfg = ge._net_cfg(channels=32, num_blocks=7)
+        batch = jax.device_put(batch_np)
+        variables = jax.device_put(vars_np)
+        source = 'synthetic-room (cached)'
+        mark('batch + variables device_put')
     else:
         net, variables, cfg, caps, batch = ge._build(
             channels=32, num_blocks=7, n_points=250000, caps=caps,
             scene='room')
         source = 'synthetic-room'
-    mark('scene + batch + init built')
+        mark('scene + batch + init built')
+        try:
+            import pickle
+            os.makedirs(os.path.dirname(cache_pkl), exist_ok=True)
+            to_np = lambda t: jax.tree.map(np.asarray, t)  # noqa: E731
+            with open(cache_pkl, 'wb') as f:
+                pickle.dump((to_np(batch), to_np(variables)), f,
+                            protocol=4)
+            mark('host cache written')
+        except Exception as e:  # cache is best-effort
+            print(f'[bench] host-cache write failed: {e}', file=sys.stderr)
 
     fn = jax.jit(lambda v, b: net.apply(v, b, cfg, caps,
                                         method=net.test_forward))
