@@ -102,11 +102,14 @@ def build_batches(n_points, n_scenes, num_levels, cfg, caps=None):
 
 
 def evaluate_weights(net, cfg, caps, final_vars, batches, metas,
-                     lvl_fusion=False, panoptic=False, test_fn=None):
+                     lvl_fusion=False, panoptic=False, test_fn=None,
+                     collect=None):
     """Full inference + eval on the given weights.  lvl_fusion=True runs
     `test_forward_plus` (grouping/refinement on the level-0 voxel set,
     reference softgroup.py:309-312) and expands masks through p2v on the
-    host; vanilla runs `test_forward`.  Returns (metrics dict, test_fn)."""
+    host; vanilla runs `test_forward`.  Returns (metrics dict, test_fn).
+    ``collect``: optional dict that receives preds / gts / sem_gt lists
+    (for post-hoc diagnosis)."""
     import jax
     import numpy as np
 
@@ -154,6 +157,8 @@ def evaluate_weights(net, cfg, caps, final_vars, batches, metas,
             pan_preds.append(panoptic_fusion(
                 out['semantic_preds'][:n], inst_pred, cfg, 20, 18))
 
+    if collect is not None:
+        collect.update(preds=preds, gts=gts, sem_gt=sem_gt_all)
     ev = ScanNetEval([f'class_{i}' for i in range(18)],
                      min_npoint=cfg.test_cfg.min_npoint)
     res = ev.evaluate(preds, gts, nproc=1)
@@ -193,6 +198,56 @@ def evaluate_weights(net, cfg, caps, final_vars, batches, metas,
     return metrics, test_fn
 
 
+def diagnose_ap(preds_per_scene, gts_per_scene, min_npoint):
+    """Separate the two AP failure modes (VERDICT r05: the 10k curve showed
+    AP plateaus at ~0.75-0.81 while train loss keeps falling):
+
+    - **mask-set quality**: per-gt best achievable IoU over ALL predictions
+      — if this is ~1.0, the proposal/mask chain can represent every
+      instance and the AP gap is elsewhere;
+    - **score ranking**: re-run the AP protocol with each prediction's conf
+      replaced by its true best-IoU against gt (oracle ranking).  AP_oracle
+      >> AP_model means the cls/iou scoring mis-ranks duplicates above true
+      positives; AP_oracle ~ AP_model means the mask set itself is the gap.
+    """
+    from softgroup_tpu.evaluation.instance_eval import ScanNetEval
+    from softgroup_tpu.util.rle import rle_decode
+
+    best_ious = []
+    oracle_preds = []
+    for preds, gt in zip(preds_per_scene, gts_per_scene):
+        gt_ids = np.unique(gt[gt >= 1000])
+        masks = [rle_decode(p['pred_mask']).astype(bool) for p in preds]
+        opreds = []
+        for p, m in zip(preds, masks):
+            ious = [
+                float((m & (gt == g)).sum()) /
+                max(float((m | (gt == g)).sum()), 1.0) for g in gt_ids]
+            opreds.append(dict(p, conf=max(ious) if ious else 0.0))
+        oracle_preds.append(opreds)
+        for g in gt_ids:
+            gm = gt == g
+            if gm.sum() < min_npoint:
+                continue
+            best = 0.0
+            for m in masks:
+                inter = float((m & gm).sum())
+                union = float((m | gm).sum())
+                best = max(best, inter / max(union, 1.0))
+            best_ious.append(best)
+    ev = ScanNetEval([f'class_{i}' for i in range(18)],
+                     min_npoint=min_npoint)
+    res = ev.evaluate(oracle_preds, gts_per_scene, nproc=1)
+    bi = np.asarray(best_ious) if best_ious else np.zeros((1,))
+    return dict(
+        AP_oracle_rank=round(res['all_ap'], 3),
+        AP_50_oracle_rank=round(res['all_ap_50%'], 3),
+        gt_best_iou_mean=round(float(bi.mean()), 3),
+        gt_best_iou_min=round(float(bi.min()), 3),
+        gt_best_iou_p25=round(float(np.percentile(bi, 25)), 3),
+        n_gt=len(best_ious))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--n-points', type=int, default=15000)
@@ -209,6 +264,13 @@ def main():
     ap.add_argument('--eval-at', type=str, default='',
                     help='comma-separated intermediate step counts to eval '
                          'at (AP curve, e.g. 3000,6000)')
+    ap.add_argument('--diagnose', action='store_true',
+                    help='at the final eval, report per-gt best achievable '
+                         'IoU + AP under oracle (best-IoU) ranking')
+    ap.add_argument('--save-weights', default='',
+                    help='pickle final trained variables to this path')
+    ap.add_argument('--load-weights', default='',
+                    help='skip training; evaluate pickled variables')
     args = ap.parse_args()
 
     import jax
@@ -227,16 +289,26 @@ def main():
 
     net = SoftGroupNet(channels=args.channels, num_blocks=args.num_blocks,
                        semantic_classes=20, instance_classes=18)
-    variables = jax.jit(lambda key, b: net.init(
-        key, b, cfg, caps, method=net.test_forward))(
-            jax.random.PRNGKey(0), batches[0])
+    if args.load_weights:
+        import pickle
+        with open(args.load_weights, 'rb') as f:
+            final_vars = jax.device_put(pickle.load(f))
+        state = None
+        args.steps = 0
+        variables = final_vars
+    else:
+        variables = jax.jit(lambda key, b: net.init(
+            key, b, cfg, caps, method=net.test_forward))(
+                jax.random.PRNGKey(0), batches[0])
 
-    tx = optax.adam(args.lr)
-    step = make_train_step(net, cfg, caps, tx, mesh=None)
-    state = TrainState(params=variables['params'],
-                       batch_stats=variables['batch_stats'],
-                       opt_state=tx.init(variables['params']),
-                       step=jnp.zeros((), jnp.int32))
+    state = None
+    if args.steps:
+        tx = optax.adam(args.lr)
+        step = make_train_step(net, cfg, caps, tx, mesh=None)
+        state = TrainState(params=variables['params'],
+                           batch_stats=variables['batch_stats'],
+                           opt_state=tx.init(variables['params']),
+                           step=jnp.zeros((), jnp.int32))
     base_rng = jax.random.PRNGKey(42)
 
     eval_at = sorted(int(s) for s in args.eval_at.split(',') if s)
@@ -268,12 +340,22 @@ def main():
             t0 = time.perf_counter()
     train_s += time.perf_counter() - t0
 
-    final_vars = {'params': state.params, 'batch_stats': state.batch_stats}
+    if state is not None:
+        final_vars = {'params': state.params,
+                      'batch_stats': state.batch_stats}
+    elif not args.load_weights:
+        final_vars = variables  # random init (smoke runs)
+    if args.save_weights:
+        import pickle
+        with open(args.save_weights, 'wb') as f:
+            pickle.dump(jax.tree.map(np.asarray, final_vars), f, protocol=4)
+        print(f'# weights saved to {args.save_weights}', flush=True)
 
+    collect = {} if args.diagnose else None
     t0 = time.perf_counter()
     m, test_fn = evaluate_weights(net, cfg, caps, final_vars, batches,
                                   metas, panoptic=args.panoptic,
-                                  test_fn=test_fn)
+                                  test_fn=test_fn, collect=collect)
     infer_s = time.perf_counter() - t0
     curve[args.steps] = m
 
@@ -289,6 +371,14 @@ def main():
 
     detail = dict(m, scenes=args.scenes, n_points=args.n_points,
                   steps=args.steps)
+    if args.diagnose:
+        d = diagnose_ap(collect['preds'], collect['gts'],
+                        cfg.test_cfg.min_npoint)
+        print(f'# diagnose: AP_oracle_rank {d["AP_oracle_rank"]:.3f} '
+              f'(model {m["AP"]:.3f})  gt best-IoU mean '
+              f'{d["gt_best_iou_mean"]:.3f} min {d["gt_best_iou_min"]:.3f}',
+              flush=True)
+        detail['diagnose'] = d
     if args.lvl_fusion:
         t0 = time.perf_counter()
         m_pp, _ = evaluate_weights(net, cfg, caps, final_vars, batches,
