@@ -1122,6 +1122,12 @@ def dw_overflow_correction(feats: jax.Array, g_out: jax.Array,
     cd = jnp.bfloat16
 
     def chunk_dw(acc, ent):
+        # The (chunk, K*Cin) one-hot augmented block + ONE matmul.  A
+        # per-tap masked-matmul variant (K small matmuls, no widened
+        # intermediate) was tried in round 5 and profiled 2x SLOWER on the
+        # real train step (8.9 vs 4.2 ms per L0 correction): the K matmuls
+        # re-stream rows/grows from HBM with M=N=Cout-sliver MXU shapes,
+        # while XLA fuses this aug build into one well-shaped contraction.
         ke_c, ve_c, src_c = ent
         valid = ve_c >= 0
         rows = padded[jnp.where(src_c < 0, v_in, src_c)]

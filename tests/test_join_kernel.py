@@ -126,3 +126,108 @@ class TestCellNeighborJoin:
         want = xla_cell_join(table, centroid, ccoord, D,
                              np.asarray(offs, np.int32), radius)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestSortedKeyRulesJoin:
+    """Gate-free rulebook join (sorted_key_rules_join) vs the searchsorted
+    oracle, incl. through build_subm_rules_linear's dispatch."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.RandomState(1)
+
+    def _grid_case(self, rng, m=512, n_valid=420, dims=(16, 20, 20),
+                   n_grids=4):
+        """Proposal-grid-like keys: n_grids dense sub-blocks of a
+        (batch, x, y, z) linear key space — the train-path tiny-U-Net
+        layout this kernel serves."""
+        D = np.asarray(dims, np.int32)
+        total = int(D[0] * D[1] * D[2])
+        per = n_valid // n_grids
+        lin = []
+        for g in range(n_grids):
+            base = rng.randint(0, total - 900)
+            lin.append(base + rng.choice(900, size=per, replace=False))
+        lin = np.sort(np.unique(np.concatenate(lin))).astype(np.int32)
+        table = np.full((m,), _INT_MAX, np.int32)
+        table[:len(lin)] = lin
+        cz = lin % D[2]
+        cy = (lin // D[2]) % D[1]
+        cx = lin // (D[1] * D[2])
+        xyz = np.zeros((m, 3), np.int32)
+        xyz[:len(lin)] = np.stack([cx, cy, cz], axis=1)
+        return jnp.asarray(table), jnp.asarray(xyz), jnp.asarray(D)
+
+    def test_matches_xla_oracle(self, rng):
+        from softgroup_tpu.ops.join_kernel import (sorted_key_rules_join,
+                                                   xla_rules_join)
+        from softgroup_tpu.ops.rulebook import CENTER_TAP, SUBM_OFFSETS
+        table, xyz, D = self._grid_case(rng)
+        offs = tuple(map(tuple, np.delete(SUBM_OFFSETS, CENTER_TAP,
+                                          axis=0).tolist()))
+        want = np.asarray(xla_rules_join(
+            table, xyz, D, np.delete(SUBM_OFFSETS, CENTER_TAP, axis=0)))
+        # guarded dispatch (the production path): exact — overflow falls
+        # back to the XLA join inside the lax.cond
+        got = np.asarray(sorted_key_rules_join(
+            table, xyz, D, offs, block_b=128, window_w=256,
+            interpret=True))
+        np.testing.assert_array_equal(got, want)
+        # forced kernel: any divergence must be a MISS (window overflow
+        # drops a hit) — never a wrong index
+        forced = np.asarray(sorted_key_rules_join(
+            table, xyz, D, offs, block_b=128, window_w=256,
+            interpret=True, force_kernel=True))
+        diff = forced != want
+        assert (forced[diff] == -1).all()
+        assert (want >= 0).any()
+
+    def test_overflow_falls_back(self, rng):
+        """A key gap wider than the window forces the XLA branch; results
+        must still match the oracle exactly."""
+        from softgroup_tpu.ops.join_kernel import (sorted_key_rules_join,
+                                                   xla_rules_join)
+        m = 1024
+        D = np.asarray([1, 1, 16384], np.int32)
+        lin = np.concatenate([np.arange(63), [10000],
+                              np.arange(10100, 10700)]).astype(np.int32)
+        table = np.full((m,), _INT_MAX, np.int32)
+        table[:len(lin)] = lin
+        xyz = np.zeros((m, 3), np.int32)
+        xyz[:len(lin), 2] = lin
+        offs = ((0, 0, 500),)
+        got = np.asarray(sorted_key_rules_join(
+            jnp.asarray(table), jnp.asarray(xyz), jnp.asarray(D), offs,
+            block_b=64, window_w=256, interpret=True))
+        want = np.asarray(xla_rules_join(jnp.asarray(table),
+                                         jnp.asarray(xyz), jnp.asarray(D),
+                                         np.asarray(offs, np.int32)))
+        np.testing.assert_array_equal(got, want)
+        assert (want >= 0).any()
+
+    def test_build_subm_rules_linear_dispatch_parity(self, rng):
+        """build_subm_rules_linear with kernels on (join kernel, interpret)
+        == kernels off (searchsorted path) on a real voxelization."""
+        import jax
+        from softgroup_tpu.ops import dispatch
+        from softgroup_tpu.ops.rulebook import build_subm_rules_linear
+        from softgroup_tpu.ops.voxelize import voxelize_linear
+        n = 2000
+        coords = np.zeros((n, 4), np.int32)
+        coords[:, 0] = rng.randint(0, 4, n)
+        coords[:, 1:] = rng.randint(0, 20, (n, 3))
+        dims = jnp.asarray([20, 20, 20], np.int32)
+        vx, ckey = voxelize_linear(jnp.asarray(coords),
+                                   jnp.ones((n,), bool), dims, 2048)
+        ref = np.asarray(build_subm_rules_linear(
+            ckey, vx.vox_coords, vx.vox_valid, dims))
+        dispatch.set_kernels(True)
+        dispatch.set_interpret(True)
+        try:
+            got = np.asarray(build_subm_rules_linear(
+                ckey, vx.vox_coords, vx.vox_valid, dims))
+        finally:
+            dispatch.set_kernels(None)
+            dispatch.set_interpret(None)
+        np.testing.assert_array_equal(got, ref)
+        assert (ref[0] >= 0).any() or (ref[1] >= 0).any()
