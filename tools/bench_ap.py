@@ -220,9 +220,15 @@ def diagnose_ap(preds_per_scene, gts_per_scene, min_npoint):
         masks = [rle_decode(p['pred_mask']).astype(bool) for p in preds]
         opreds = []
         for p, m in zip(preds, masks):
+            # oracle conf must be CLASS-AWARE: ranking by best-IoU against
+            # any class's gt promotes cross-class duplicates to top-ranked
+            # FPs in their own class and *understates* AP_oracle (the first
+            # r05 diagnose run hit exactly this)
+            sem_want = (p['label_id'] - 1) + 2   # inst class -> sem label
             ious = [
                 float((m & (gt == g)).sum()) /
-                max(float((m | (gt == g)).sum()), 1.0) for g in gt_ids]
+                max(float((m | (gt == g)).sum()), 1.0)
+                for g in gt_ids if g // 1000 == sem_want]
             opreds.append(dict(p, conf=max(ious) if ious else 0.0))
         oracle_preds.append(opreds)
         for g in gt_ids:
